@@ -1,0 +1,200 @@
+"""TPU-native Bouabdallah-2004 quad-X rigid-body dynamics.
+
+Pure-functional, branchless reimplementation of the reference dynamics
+(gym_copter/dynamics/__init__.py:114-197).  Where the reference mutates a
+single 12-float numpy state behind three data-dependent `if` branches and an
+early `return`, this step is one straight-line XLA program over masked
+`jnp.where` updates, so thousands of vehicles integrate in lockstep on the
+VPU under `jit`.
+
+Layout convention: the state `x` has shape (12,) for a single vehicle or
+(12, B) for a batch ("struct of arrays") — every per-component operation is
+then an elementwise op over the batch lane dimension, which maps directly
+onto the TPU's (8, 128) vector registers with no padding waste and no
+gathers.  All functions below are polymorphic over these two layouts; masks
+of shape () or (B,) broadcast correctly against (12, B).
+
+Semantics preserved exactly (see SURVEY.md §2.4 "parity traps"):
+  * forward-Euler integration, one step per call (reference :187);
+  * Eq.6 motor mixing with the ArduPilot quad-X layout (:231-247);
+  * Eq.12 attitude accelerations including the fully-negated theta-ddot
+    line (:281-284) and phi-ddot's precedence quirk (:275-277);
+  * only the body-Z column rotated into the inertial frame, negated for
+    NED (:292-302); netz = accelNED[2] + G (:143);
+  * ground-contact state machine LANDED->AIRBORNE->{CRASHED|LEVELING}->LANDED
+    (:147-177), including: a vehicle promoted LANDED->AIRBORNE integrates on
+    the same call (`elif` on the *updated* status); touchdown returns early
+    WITHOUT integrating, WITHOUT clearing the perturbation, and WITHOUT
+    advancing the clock (:177 precedes :194,:197);
+  * the perturbation double-count: `_computeStateDerivative` adds perturb
+    into every velocity-derivative slot (:263-290) and `setMotors` adds it
+    again via `_dxdt[1::2] += perturb` (:183), so each active perturbation
+    is applied twice; it is cleared at the end of a non-early-return call
+    (:194).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gym_copter_tpu.core import constants as C
+from gym_copter_tpu.core.types import VehicleParams, WorldParams
+
+
+class DynamicsState(NamedTuple):
+    """Carried dynamics state for one vehicle or a batch of vehicles.
+
+    x:       (12,) or (12, B) state vector(s), NED frame
+    status:  () or (B,) int32 flight status (constants.STATUS_*)
+    perturb: (6,) or (6, B) pending acceleration perturbation (force / M),
+             applied on the next integrating step (reference
+             gym_copter/dynamics/__init__.py:227-229)
+    ticks:   () or (B,) int32 step counter; time = ticks * dt (:219-221)
+    """
+
+    x: jnp.ndarray
+    status: jnp.ndarray
+    perturb: jnp.ndarray
+    ticks: jnp.ndarray
+
+
+def init_state(x, dtype=jnp.float32):
+    """Create a DynamicsState from a state vector, reproducing
+    `Dynamics.setState` (reference :210-217): airborne iff z < 0 (NED)."""
+    x = jnp.asarray(x, dtype=dtype)
+    z = x[C.STATE_Z]
+    status = jnp.where(z < 0, C.STATUS_AIRBORNE, C.STATUS_LANDED)
+    status = status.astype(jnp.int32)
+    zeros6 = jnp.zeros((6,) + x.shape[1:], dtype=dtype)
+    ticks = jnp.zeros(x.shape[1:], dtype=jnp.int32)
+    return DynamicsState(x=x, status=status, perturb=zeros6, ticks=ticks)
+
+
+def body_z_to_inertial(body_z, phi, theta, psi):
+    """Rotate a body-Z-aligned vector into the inertial frame — the rightmost
+    column of the body-to-inertial rotation matrix (reference :292-302)."""
+    cph, sph = jnp.cos(phi), jnp.sin(phi)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    cps, sps = jnp.cos(psi), jnp.sin(psi)
+    rx = sph * sps + cph * cps * sth
+    ry = cph * sps * sth - cps * sph
+    rz = cph * cth
+    return body_z * rx, body_z * ry, body_z * rz
+
+
+def step(
+    state: DynamicsState,
+    motorvals: jnp.ndarray,
+    vp: VehicleParams,
+    world: WorldParams,
+    dt: float,
+) -> DynamicsState:
+    """One forward-Euler physics step == one `Dynamics.setMotors` call.
+
+    motorvals: (4,) or (4, B) motor values in [0, 1].
+    Returns the updated DynamicsState.  Fully branchless; safe under jit,
+    vmap, scan, and shard_map.
+    """
+    x = state.x
+    status = state.status
+    perturb = state.perturb
+    dtype = x.dtype
+    g = jnp.asarray(world.g, dtype)
+
+    # --- Eq. 6: motor speeds -> thrust + torques (reference :120-132) ---
+    # association matches the reference expression ((m*maxrpm)*pi)/30 so
+    # float64 trajectories agree to the last bit in non-chaotic regimes
+    omegas = motorvals * vp.maxrpm * math.pi / 30.0
+    o2 = omegas * omegas
+    U1 = vp.B * (o2[0] + o2[1] + o2[2] + o2[3])
+    # quad-X ArduPilot mixing (reference :231-247)
+    U2 = vp.L * vp.B * ((o2[1] + o2[2]) - (o2[0] + o2[3]))
+    U3 = vp.L * vp.B * ((o2[1] + o2[3]) - (o2[0] + o2[2]))
+    U4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+    # rotor disturbance term hardcoded zero in the reference (:134-135)
+
+    # --- thrust vector into inertial frame, NED (reference :137-143) ---
+    phi, theta, psi = x[C.STATE_PHI], x[C.STATE_THETA], x[C.STATE_PSI]
+    ax, ay, az = body_z_to_inertial(-U1 / vp.M, phi, theta, psi)
+    netz = az + g
+
+    # --- status machine, phase 1: LANDED -> AIRBORNE (reference :147-149) ---
+    status1 = jnp.where(
+        (status == C.STATUS_LANDED) & (netz < 0), C.STATUS_AIRBORNE, status
+    )
+
+    leveling = status1 == C.STATUS_LEVELING
+    airborne = status1 == C.STATUS_AIRBORNE
+
+    # --- touchdown / crash classification (reference :162-175).
+    # The reference labels Y_DOT "velx" and Z_DOT "vely"; preserved.
+    z, dz = x[C.STATE_Z], x[C.STATE_Z_DOT]
+    dy = x[C.STATE_Y_DOT]
+    touchdown = airborne & (z > 0) & (dz > 0)
+    crash = (
+        (dz > C.LANDING_VEL_Y)
+        | (jnp.abs(dy) > C.LANDING_VEL_X)
+        | (jnp.abs(phi) > C.LANDING_ANGLE)
+    )
+    integrate = airborne & ~touchdown
+
+    # --- Eq. 12 state derivative (reference :249-290), perturbation included
+    # once here and once more below — the reference's double-count quirk.
+    phidot = x[C.STATE_PHI_DOT]
+    thedot = x[C.STATE_THETA_DOT]
+    psidot = x[C.STATE_PSI_DOT]
+    dxdt = jnp.stack(
+        [
+            x[C.STATE_X_DOT],
+            ax + perturb[0],
+            x[C.STATE_Y_DOT],
+            ay + perturb[1],
+            x[C.STATE_Z_DOT],
+            netz + perturb[2],
+            phidot,
+            psidot * thedot * (vp.Iy - vp.Iz) / vp.Ix + U2 / vp.Ix + perturb[3],
+            thedot,
+            -(psidot * phidot * (vp.Iz - vp.Ix) / vp.Iy + U3 / vp.Iy) + perturb[4],
+            psidot,
+            thedot * phidot * (vp.Ix - vp.Iy) / vp.Iz + U4 / vp.Iz + perturb[5],
+        ]
+    )
+    # second application of the perturbation to all six velocity slots
+    # (reference :183, `_dxdt[1::2] += self._perturb`)
+    dxdt = dxdt.at[1::2].add(perturb)
+
+    x_integrated = x + dt * dxdt
+
+    # leveling zeroes roll/pitch then lands (reference :152-156)
+    zero = jnp.zeros_like(phi)
+    x_leveled = x.at[C.STATE_PHI].set(zero).at[C.STATE_THETA].set(zero)
+
+    x_out = jnp.where(integrate, x_integrated, jnp.where(leveling, x_leveled, x))
+
+    status_out = jnp.where(
+        leveling,
+        C.STATUS_LANDED,
+        jnp.where(
+            touchdown,
+            jnp.where(crash, C.STATUS_CRASHED, C.STATUS_LEVELING),
+            status1,
+        ),
+    ).astype(jnp.int32)
+
+    # early return on touchdown: perturbation survives, clock does not tick
+    # (reference :177 vs :194,:197)
+    perturb_out = jnp.where(touchdown, perturb, jnp.zeros_like(perturb))
+    ticks_out = state.ticks + jnp.where(touchdown, 0, 1).astype(jnp.int32)
+
+    return DynamicsState(x=x_out, status=status_out, perturb=perturb_out,
+                         ticks=ticks_out)
+
+
+def perturb(state: DynamicsState, force, vp: VehicleParams) -> DynamicsState:
+    """Queue an instantaneous force perturbation (reference :227-229):
+    stored as acceleration (force / M), consumed by the next step."""
+    force = jnp.asarray(force, state.x.dtype)
+    return state._replace(perturb=force / vp.M)

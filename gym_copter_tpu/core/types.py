@@ -1,0 +1,76 @@
+"""Frozen parameter pytrees for the TPU-native copter engine.
+
+The reference passes vehicle constants as a plain dict
+(gym_copter/dynamics/vehicles/dji_phantom.py:9-26) and task settings as
+constructor kwargs + class constants (gym_copter/envs/task.py:32-38,
+gym_copter/envs/lander.py:17-23).  Here everything is a NamedTuple so the
+whole configuration is a JAX pytree: it can be closed over statically or
+traced/donated, and it is trivially checkpointable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from gym_copter_tpu.core import constants as C
+
+
+class VehicleParams(NamedTuple):
+    """Bouabdallah-2004 vehicle constants.
+
+    Field meanings follow the reference dynamics constructor
+    (gym_copter/dynamics/__init__.py:85-95).
+    """
+
+    B: float       # thrust coefficient [F = B * w^2]
+    D: float       # torque (drag) coefficient [T = D * w^2]
+    M: float       # mass [kg]
+    L: float       # arm length [m]
+    Ix: float      # moment of inertia about X [kg m^2]
+    Iy: float      # moment of inertia about Y [kg m^2]
+    Iz: float      # moment of inertia about Z [kg m^2]
+    Jr: float      # rotor inertia [kg m^2]
+    maxrpm: float  # maximum motor speed [rpm]
+
+
+class WorldParams(NamedTuple):
+    """World constants; the active reference hardcodes Earth gravity
+    (gym_copter/dynamics/__init__.py:76), the attic makes {G, rho}
+    injectable (attic/mars/dynamics/__init__.py:83-84)."""
+
+    g: float = C.EARTH_G
+    rho: float = C.EARTH_RHO
+
+
+class TaskParams(NamedTuple):
+    """Task-level settings; defaults match the reference
+    (gym_copter/envs/task.py:25,32-38)."""
+
+    dt: float = 0.01                      # 1 / FRAMES_PER_SECOND (=100)
+    initial_random_force: float = 30.0
+    out_of_bounds_penalty: float = 100.0
+    max_steps: int = 1000
+    max_angle: float = math.radians(45.0)
+    bounds: float = 10.0
+    initial_altitude: float = 10.0
+
+
+class LanderRewardParams(NamedTuple):
+    """Landing-task shaping constants (gym_copter/envs/lander.py:17-23)."""
+
+    target_radius: float = 2.0
+    yaw_penalty_factor: float = 50.0
+    xyz_penalty_factor: float = 25.0
+    dz_max: float = 10.0
+    dz_penalty: float = 100.0
+    inside_radius_bonus: float = 100.0
+
+
+class EnvParams(NamedTuple):
+    """Full environment configuration pytree passed into the pure step."""
+
+    vehicle: VehicleParams
+    world: WorldParams = WorldParams()
+    task: TaskParams = TaskParams()
+    reward: LanderRewardParams = LanderRewardParams()

@@ -1,0 +1,258 @@
+"""Batched, pure-functional environment layer.
+
+Reimplements the reference task layer (gym_copter/envs/task.py:77-197) as a
+single branchless XLA program over a batch of environments.  Where the
+reference holds one mutable env object and allocates a fresh `Dynamics` per
+episode (task.py:161), here the whole environment state is a pytree of
+(…, B)-shaped arrays and episode boundaries are handled by masked auto-reset
+inside the same jitted step — no allocation, no host round-trip, no Python
+in the hot loop.
+
+Layout: "struct of arrays" — the 12-state is (12, B), actions are (A, B),
+observations are (obs_dim, B) ("features-first").  Every per-env quantity is
+a (B,) lane vector, the natural TPU-VPU layout; a features-first MLP policy
+can matmul W @ obs directly on the MXU with B on the lane dimension.
+
+Determinism: each environment's randomness is derived as
+`fold_in(fold_in(base_key, global_env_id), episode_index)`, so trajectories
+are bit-identical regardless of batch size or sharding layout (SURVEY.md §7
+"Multi-host determinism").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gym_copter_tpu.core import constants as C
+from gym_copter_tpu.core import dynamics
+from gym_copter_tpu.core.dynamics import DynamicsState
+from gym_copter_tpu.core.types import EnvParams
+
+
+class TaskSpec(NamedTuple):
+    """Static (hashable) task description.
+
+    kind:         'lander' (shaped reward + landing bonus + landed
+                  termination, gym_copter/envs/lander.py:46-74) or 'hover'
+                  (+1 per surviving step, attic/gym_copter/envs/hover.py:18-21).
+    obs_indices:  which of the 12 state slots form the observation
+                  (1D: (z,dz); 2D: (y,dy,z,dz,phi,dphi); 3D lander drops
+                  (psi,dpsi); hover3d keeps all 12 — SURVEY.md §2.4).
+    mix_matrix:   (4, action_size) motor-mix rows, motors4 = mix @ action
+                  (1D: broadcast, 2D: [m0,m1,m1,m0], 3D: identity —
+                  attic lander1d.py:47-49, lander2d.py:49-51).
+    """
+
+    name: str
+    kind: str
+    obs_indices: Tuple[int, ...]
+    action_size: int
+    mix_matrix: Tuple[Tuple[float, ...], ...]
+
+    @property
+    def obs_size(self) -> int:
+        return len(self.obs_indices)
+
+
+class EnvState(NamedTuple):
+    """Carried state for a batch of B environments (all arrays (…, B))."""
+
+    dyn: DynamicsState          # x (12,B), status (B,), perturb (6,B), ticks (B,)
+    prev_shaping: jnp.ndarray   # (B,) shaping value from the previous step
+    steps: jnp.ndarray          # (B,) int32, counts the initializing step
+    episode: jnp.ndarray        # (B,) int32 episode index (keys randomness)
+    initial_random_x: jnp.ndarray  # (B,) sign of the Y-force (2D flag dir,
+                                   # task.py:188 — which reads index 1)
+
+
+class TimeStep(NamedTuple):
+    """Step output. obs is features-first (obs_dim, B) and — following the
+    standard JAX auto-reset convention — already belongs to the *new*
+    episode on done steps; reward/done describe the finished step."""
+
+    obs: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+    status: jnp.ndarray
+    spinning: jnp.ndarray
+
+
+def _tree_where(cond, a, b):
+    """Per-env select over matching pytrees; cond is (B,), leaves (…, B)."""
+    return jax.tree.map(lambda u, v: jnp.where(cond, u, v), a, b)
+
+
+def _shaping(x, params: EnvParams, spec: TaskSpec):
+    """Lander potential: -(25·‖(x,dx,y,dy,z,dz)‖ + 50·‖(psi,dpsi)‖),
+    minus 100 when |dz| exceeds 10 (gym_copter/envs/lander.py:52-56)."""
+    rp = params.reward
+    pos = x[0:6]
+    yaw = x[10:12]
+    s = -(rp.xyz_penalty_factor * jnp.sqrt(jnp.sum(pos * pos, axis=0))
+          + rp.yaw_penalty_factor * jnp.sqrt(jnp.sum(yaw * yaw, axis=0)))
+    s = s - jnp.where(jnp.abs(x[C.STATE_Z_DOT]) > rp.dz_max,
+                      jnp.asarray(rp.dz_penalty, x.dtype),
+                      jnp.asarray(0.0, x.dtype))
+    return s
+
+
+def _reward(entry_status, x, prev_shaping, params: EnvParams, spec: TaskSpec):
+    """Returns (reward, new_shaping, done_from_reward) for the task kind."""
+    dtype = x.dtype
+    if spec.kind == 'hover':
+        ones = jnp.ones(x.shape[1:], dtype)
+        zeros = jnp.zeros(x.shape[1:], dtype)
+        return ones, zeros, jnp.zeros(x.shape[1:], bool)
+
+    rp = params.reward
+    shaping = _shaping(x, params, spec)
+    reward = shaping - prev_shaping
+    landed = entry_status == C.STATUS_LANDED
+    inside = jnp.sqrt(x[C.STATE_X] ** 2 + x[C.STATE_Y] ** 2) < rp.target_radius
+    reward = reward + jnp.where(landed & inside,
+                                jnp.asarray(rp.inside_radius_bonus, dtype),
+                                jnp.asarray(0.0, dtype))
+    return reward, shaping, landed
+
+
+def _initial_forces(base_key, env_ids, episode, params: EnvParams, dtype):
+    """Per-env reset wind kick ~ U(-F, +F)^3 on (X, Y, Z) (task.py:177-188),
+    keyed by (global env id, episode index) for layout independence."""
+    f = params.task.initial_random_force
+
+    def one(eid, ep):
+        k = jax.random.fold_in(jax.random.fold_in(base_key, eid), ep)
+        return jax.random.uniform(k, (3,), minval=-f, maxval=f, dtype=dtype)
+
+    forces3 = jax.vmap(one)(env_ids, episode).T  # (3, B)
+    return jnp.concatenate([forces3, jnp.zeros_like(forces3)], axis=0)  # (6, B)
+
+
+def reset(
+    base_key,
+    env_ids,
+    episode,
+    params: EnvParams,
+    spec: TaskSpec,
+    *,
+    pose=None,
+    perturb_force=None,
+    dtype=jnp.float32,
+) -> Tuple[EnvState, jnp.ndarray]:
+    """Build fresh state for a batch of envs == reference `_Task._reset`
+    (task.py:145-197) *including* the trailing zero-action initializing step
+    (task.py:197), which (a) leaves the dynamics untouched (setMotors is
+    skipped when initializing), (b) seeds `prev_shaping` with the initial
+    shaping value so the first real step's reward is a delta (lander.py:58-62),
+    and (c) advances the step counter to 1.
+
+    pose: optional (x, y, altitude, phi_deg, theta_deg) start pose
+          (task.py:149-170; z is negated into NED, angles are degrees).
+    perturb_force: optional (6, B) explicit force override for parity tests.
+    Returns (EnvState, obs) with obs features-first (obs_dim, B).
+    """
+    env_ids = jnp.asarray(env_ids, jnp.int32)
+    episode = jnp.asarray(episode, jnp.int32)
+    b = env_ids.shape[0]
+
+    if pose is None:
+        pose = (0.0, 0.0, params.task.initial_altitude, 0.0, 0.0)
+    x = jnp.zeros((12, b), dtype)
+    x = x.at[C.STATE_X].set(jnp.asarray(pose[0], dtype))
+    x = x.at[C.STATE_Y].set(jnp.asarray(pose[1], dtype))
+    x = x.at[C.STATE_Z].set(jnp.asarray(-pose[2], dtype))          # NED
+    x = x.at[C.STATE_PHI].set(jnp.radians(jnp.asarray(pose[3], dtype)))
+    x = x.at[C.STATE_THETA].set(jnp.radians(jnp.asarray(pose[4], dtype)))
+
+    if perturb_force is None:
+        forces = _initial_forces(base_key, env_ids, episode, params, dtype)
+    else:
+        forces = jnp.asarray(perturb_force, dtype)
+
+    dyn = dynamics.init_state(x, dtype=dtype)
+    dyn = dynamics.perturb(dyn, forces, params.vehicle)
+
+    prev_shaping = _shaping(x, params, spec)
+    state = EnvState(
+        dyn=dyn,
+        prev_shaping=prev_shaping,
+        steps=jnp.ones((b,), jnp.int32),
+        episode=episode,
+        initial_random_x=jnp.sign(forces[1]),
+    )
+    return state, x[jnp.array(spec.obs_indices)]
+
+
+def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
+    """One environment transition without auto-reset == `_Task.step`
+    (task.py:77-137), branchless."""
+    x_dtype = state.dyn.x.dtype
+    entry_status = state.dyn.status
+    landed = entry_status == C.STATUS_LANDED
+
+    # clip to [0,1] despite the declared [-1,1] action space (task.py:91)
+    motors = jnp.clip(jnp.asarray(action, x_dtype), 0.0, 1.0)
+    spinning = (~landed) & (jnp.sum(motors, axis=0) > 0)
+    mix = jnp.asarray(spec.mix_matrix, x_dtype)
+    motors4 = mix @ motors  # (4, B)
+
+    stepped = dynamics.step(state.dyn, motors4, params.vehicle,
+                            params.world, params.task.dt)
+    # motors (and the whole dynamics update) are skipped once safely landed
+    # (task.py:86-94)
+    dyn = _tree_where(landed, state.dyn, stepped)
+    x = dyn.x
+
+    reward, shaping, done_r = _reward(entry_status, x, state.prev_shaping,
+                                      params, spec)
+
+    t = params.task
+    oob = (jnp.abs(x[C.STATE_X]) >= t.bounds) | (jnp.abs(x[C.STATE_Y]) >= t.bounds)
+    tilt = ((jnp.abs(x[C.STATE_PHI]) >= t.max_angle)
+            | (jnp.abs(x[C.STATE_THETA]) >= t.max_angle))
+    crashed = entry_status == C.STATUS_CRASHED
+
+    penalty = jnp.asarray(t.out_of_bounds_penalty, x_dtype)
+    # out-of-bounds SUBTRACTS the penalty; tilt REPLACES the reward
+    # (task.py:111-118)
+    reward = jnp.where(oob, reward - penalty, jnp.where(tilt, -penalty, reward))
+
+    done = done_r | oob | tilt | crashed | (state.steps == t.max_steps)
+
+    new_state = EnvState(
+        dyn=dyn,
+        prev_shaping=shaping,
+        steps=state.steps + 1,
+        episode=state.episode,
+        initial_random_x=state.initial_random_x,
+    )
+    obs = x[jnp.array(spec.obs_indices)]
+    return new_state, obs, reward, done, spinning
+
+
+def step(
+    state: EnvState,
+    action,
+    base_key,
+    env_ids,
+    params: EnvParams,
+    spec: TaskSpec,
+) -> Tuple[EnvState, TimeStep]:
+    """Environment step with folded-in auto-reset: finished slots are
+    replaced in place by freshly reset episodes (the TPU-native analogue of
+    the reference's per-episode `Dynamics()` allocation, task.py:161)."""
+    new_state, obs, reward, done, spinning = _raw_step(state, action, params, spec)
+
+    fresh_state, fresh_obs = reset(
+        base_key, env_ids, state.episode + 1, params, spec,
+        dtype=state.dyn.x.dtype,
+    )
+    out_state = _tree_where(done, fresh_state, new_state)
+    out_obs = jnp.where(done, fresh_obs, obs)
+
+    ts = TimeStep(obs=out_obs, reward=reward, done=done,
+                  status=new_state.dyn.status, spinning=spinning)
+    return out_state, ts

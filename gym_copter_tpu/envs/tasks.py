@@ -1,0 +1,60 @@
+"""Task specs for the Lander / Hover family.
+
+Observation slices, action sizes, and motor maps follow the reference
+variants (SURVEY.md §2.4):
+  Lander1D: obs (z,dz),            1 motor broadcast to 4   (attic lander1d.py:43-49)
+  Lander2D: obs (y,dy,z,dz,phi,dphi), 2 motors [m0,m1,m1,m0] (attic lander2d.py:43-51)
+  Lander3D: obs 10 (yaw dropped),  4 motors identity         (gym_copter/envs/lander.py:39-44,95-97)
+  Hover1D/2D/3D: same obs/motor maps, +1-per-step reward     (attic hover*.py)
+"""
+
+from gym_copter_tpu.envs.base import TaskSpec
+
+_IDENTITY4 = ((1.0, 0.0, 0.0, 0.0),
+              (0.0, 1.0, 0.0, 0.0),
+              (0.0, 0.0, 1.0, 0.0),
+              (0.0, 0.0, 0.0, 1.0))
+_ONE_MOTOR = ((1.0,), (1.0,), (1.0,), (1.0,))
+_TWO_MOTOR = ((1.0, 0.0), (0.0, 1.0), (0.0, 1.0), (1.0, 0.0))
+
+# 3-demand (throttle, roll, pitch) mixer of the attic "simple" 3D lander,
+# motors = [t - r - p, t + r + p, t + r - p, t - r + p]
+# (attic/gym_copter/envs/simple_lander3d.py:85-88)
+_DEMAND3 = ((1.0, -1.0, -1.0),
+            (1.0, 1.0, 1.0),
+            (1.0, 1.0, -1.0),
+            (1.0, -1.0, 1.0))
+
+OBS_1D = (4, 5)
+OBS_2D = (2, 3, 4, 5, 6, 7)
+OBS_3D_LANDER = (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)
+OBS_3D_FULL = tuple(range(12))
+
+LANDER_1D = TaskSpec('Lander1D', 'lander', OBS_1D, 1, _ONE_MOTOR)
+LANDER_2D = TaskSpec('Lander2D', 'lander', OBS_2D, 2, _TWO_MOTOR)
+LANDER_3D = TaskSpec('Lander3D', 'lander', OBS_3D_LANDER, 4, _IDENTITY4)
+LANDER_3D_SIMPLE = TaskSpec('Lander3DSimple', 'lander', OBS_3D_LANDER, 3, _DEMAND3)
+HOVER_1D = TaskSpec('Hover1D', 'hover', OBS_1D, 1, _ONE_MOTOR)
+HOVER_2D = TaskSpec('Hover2D', 'hover', OBS_2D, 2, _TWO_MOTOR)
+HOVER_3D = TaskSpec('Hover3D', 'hover', OBS_3D_FULL, 4, _IDENTITY4)
+
+ALL_TASKS = {
+    'Lander1D-v0': LANDER_1D,
+    'Lander2D-v0': LANDER_2D,
+    'Lander3D-v0': LANDER_3D,
+    'Lander-v0': LANDER_3D,          # active registry alias (gym_copter/__init__.py:9-13)
+    'Lander3DSimple-v0': LANDER_3D_SIMPLE,
+    'Hover1D-v0': HOVER_1D,
+    'Hover2D-v0': HOVER_2D,
+    'Hover3D-v0': HOVER_3D,
+}
+
+# Per-variant CSV column names (reference STATE_NAMES, e.g. lander.py:30-31)
+STATE_NAMES = {
+    'lander1d': ['Z', 'dZ'],
+    'lander2d': ['X', 'dX', 'Z', 'dZ', 'Phi', 'dPhi'],
+    'lander3d': ['X', 'dX', 'Y', 'dY', 'Z', 'dZ',
+                 'Phi', 'dPhi', 'Theta', 'dTheta'],
+    'hover3d': ['X', 'dX', 'Y', 'dY', 'Z', 'dZ',
+                'Phi', 'dPhi', 'Theta', 'dTheta', 'Psi', 'dPsi'],
+}

@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference has no tests at all (SURVEY.md §4); this suite is built on the
+strategy SURVEY.md §4 prescribes: float64 oracle parity, property tests on
+the branchless status machine, and fake-multi-device sharding tests via
+``--xla_force_host_platform_device_count`` — so the full sharded path is
+exercised without TPU hardware.  float64 is enabled globally; the engine is
+dtype-explicit so float32 behavior is still testable.
+"""
+
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (
+        _flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize registers a tunneled TPU backend and forces
+# jax_platforms='axon,cpu'; tests must run on the virtual CPU mesh (true
+# float64, 8 fake devices), so force the platform back before any backend
+# initializes.
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
