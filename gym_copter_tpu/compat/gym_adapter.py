@@ -1,0 +1,153 @@
+"""Single-env Gymnasium drop-in wrapper.
+
+Gives users of the reference (`gym.make('gym_copter:Lander-v0')`,
+gym_copter/__init__.py:9-13) the same 5-tuple API on top of the batched JAX
+engine: a B=1 slice of the lockstep step, with numpy in/out, matching
+observation/action spaces, and the reference's seeding-and-reset protocol.
+
+Two seeding modes:
+  * default: JAX key-derived perturbations (deterministic per (seed, episode));
+  * legacy_seeding=True: draw the reset wind kick from *global* `np.random`
+    exactly like the reference (task.py:71-75, 199-202), so seeded reference
+    trajectories can be replayed bit-for-bit (with dtype=float64).
+
+Also registers `GymCopterTpu/<Name>` ids with the Gymnasium registry on
+import, so `gymnasium.make('GymCopterTpu/Lander-v0')` works.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+import gymnasium as gym
+from gymnasium import spaces
+
+from gym_copter_tpu.core import constants as C
+from gym_copter_tpu.core.types import EnvParams
+from gym_copter_tpu.envs import registry, tasks
+from gym_copter_tpu.envs.base import EnvState
+
+
+class GymCopterEnv(gym.Env):
+    """Gymnasium Env facade over one JAX-stepped copter environment.
+
+    Mirrors the reference `_Task` surface: Box obs space (±inf, float32),
+    Box action space ([-1, 1]^n) (task.py:46-55), `step` returning
+    (obs, reward, terminated, False, {}) with terminated semantics identical
+    to the reference's `done` (truncation is folded into terminated exactly
+    like task.py:128-137), plus `set_altitude` (task.py:67-69) and a
+    `pose` attribute for renderers (task.py:102-103).
+    """
+
+    metadata = {'render_modes': ['human', 'rgb_array'], 'render_fps': 100}
+
+    def __init__(self, name: str = 'Lander-v0',
+                 params: Optional[EnvParams] = None,
+                 seed: int = 0,
+                 legacy_seeding: bool = False,
+                 dtype=jnp.float32):
+        self._name = name
+        self._env = registry.make(name, num_envs=1, params=params, seed=seed,
+                                  dtype=dtype)
+        self._legacy_seeding = legacy_seeding
+        self._dtype = dtype
+        self._state: Optional[EnvState] = None
+        self._episode = 0
+        self.viewer = None
+        self.pose = None
+        self.done = False
+        self.spinning = False
+
+        spec = self._env.spec
+        self.observation_space = spaces.Box(
+            -np.inf, np.inf, shape=(spec.obs_size,), dtype=np.float32)
+        self.action_space = spaces.Box(
+            -1.0, 1.0, shape=(spec.action_size,), dtype=np.float32)
+        self.STATE_NAMES = _state_names(spec)
+        self.FRAMES_PER_SECOND = int(round(1.0 / self._env.params.task.dt))
+
+    # -- reference `_Task.set_altitude` (task.py:67-69)
+    def set_altitude(self, altitude):
+        task = self._env.params.task._replace(initial_altitude=altitude)
+        params = self._env.params._replace(task=task)
+        env = registry.CopterEnv(self._env.spec, params=params,
+                                 num_envs=1, dtype=self._dtype)
+        env.base_key = self._env.base_key
+        self._env = env
+
+    def seed(self, seed=None):
+        """Reference `_Task.seed` (task.py:71-75): seeds global np.random
+        (used by the legacy perturbation path)."""
+        np.random.seed(seed)
+        return [seed]
+
+    def reset(self, seed=None, options=None, pose=None, perturb=True):
+        if seed is not None and self._legacy_seeding:
+            np.random.seed(seed)
+
+        perturb_force = None
+        if not perturb:
+            perturb_force = np.zeros((6, 1))
+        elif self._legacy_seeding:
+            f = self._env.params.task.initial_random_force
+            perturb_force = np.zeros((6, 1))
+            perturb_force[0, 0] = np.random.uniform(-f, f)
+            perturb_force[1, 0] = np.random.uniform(-f, f)
+            perturb_force[2, 0] = np.random.uniform(-f, f)
+
+        self._state, obs = self._env.reset(
+            episode=self._episode, pose=pose, perturb_force=perturb_force)
+        self._episode += 1
+        self.done = False
+        self._update_pose()
+        return np.asarray(obs[:, 0], np.float32), {}
+
+    def step(self, action):
+        action = jnp.asarray(np.asarray(action, np.float32)[:, None],
+                             self._dtype)
+        self._state, ts = self._env.step(self._state, action)
+        self.done = bool(ts.done[0])
+        self.spinning = bool(ts.spinning[0])
+        # pose reflects the step's own (terminal) state, not the auto-reset
+        # state, matching the reference's post-step pose (task.py:102-103)
+        self._update_pose(np.asarray(ts.x[:, 0]))
+        obs = np.asarray(ts.obs[:, 0], np.float32)
+        return obs, float(ts.reward[0]), self.done, False, {}
+
+    def _update_pose(self, x=None):
+        if x is None:
+            x = np.asarray(self._state.dyn.x[:, 0])
+        self.pose = (x[C.STATE_X], x[C.STATE_Y], x[C.STATE_Z],
+                     x[C.STATE_PHI], x[C.STATE_THETA], x[C.STATE_PSI])
+
+    def render(self):
+        return None if self.viewer is None else self.viewer.render()
+
+    def close(self):
+        if self.viewer is not None:
+            self.viewer.close()
+        super().close()
+
+
+def _state_names(spec):
+    full = list(C.STATE_NAMES_12)
+    return [full[i] for i in spec.obs_indices]
+
+
+def _register_all():
+    for name in tasks.ALL_TASKS:
+        gym_id = f'GymCopterTpu/{name}'
+        if gym_id not in gym.registry:
+            gym.register(
+                id=gym_id,
+                entry_point='gym_copter_tpu.compat.gym_adapter:GymCopterEnv',
+                max_episode_steps=1000,  # matches gym_copter/__init__.py:12
+                kwargs={'name': name},
+            )
+
+
+_register_all()

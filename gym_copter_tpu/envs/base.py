@@ -71,13 +71,15 @@ class EnvState(NamedTuple):
 class TimeStep(NamedTuple):
     """Step output. obs is features-first (obs_dim, B) and — following the
     standard JAX auto-reset convention — already belongs to the *new*
-    episode on done steps; reward/done describe the finished step."""
+    episode on done steps; reward/done/x describe the finished step (x is
+    the full pre-reset 12-state, for rendering and diagnostics)."""
 
     obs: jnp.ndarray
     reward: jnp.ndarray
     done: jnp.ndarray
     status: jnp.ndarray
     spinning: jnp.ndarray
+    x: jnp.ndarray
 
 
 def _tree_where(cond, a, b):
@@ -254,5 +256,6 @@ def step(
     out_obs = jnp.where(done, fresh_obs, obs)
 
     ts = TimeStep(obs=out_obs, reward=reward, done=done,
-                  status=new_state.dyn.status, spinning=spinning)
+                  status=new_state.dyn.status, spinning=spinning,
+                  x=new_state.dyn.x)
     return out_state, ts

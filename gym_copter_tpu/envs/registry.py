@@ -49,6 +49,7 @@ class CopterEnv:
             base.reset, params=self.params, spec=self.spec, dtype=self.dtype))
         self._step = jax.jit(functools.partial(
             base.step, params=self.params, spec=self.spec))
+        self._rollout_cache = {}
 
     @property
     def observation_size(self) -> int:
@@ -81,21 +82,51 @@ class CopterEnv:
         policy_fn(policy_state, obs) -> (policy_state, action) with obs
         features-first.  Returns (final_state, final_policy_state,
         trajectory TimeStep stacked on a leading T axis).
-        """
 
-        def scan_step(carry, _):
-            env_state, pol_state, obs = carry
-            pol_state, action = policy_fn(pol_state, obs)
-            env_state, ts = base.step(env_state, action, self.base_key,
-                                      self.env_ids, self.params, self.spec)
-            return (env_state, pol_state, ts.obs), ts
+        The whole scan is jitted once per (policy_fn, num_steps) and cached
+        on the handle, so repeated rollouts pay zero retrace cost.
+        """
+        cache_key = (policy_fn, num_steps)
+        if cache_key not in self._rollout_cache:
+
+            def run(state, policy_state, obs, base_key, env_ids):
+                def scan_step(carry, _):
+                    env_state, pol_state, obs = carry
+                    pol_state, action = policy_fn(pol_state, obs)
+                    env_state, ts = base.step(env_state, action, base_key,
+                                              env_ids, self.params, self.spec)
+                    return (env_state, pol_state, ts.obs), ts
+
+                (state, policy_state, _), traj = jax.lax.scan(
+                    scan_step, (state, policy_state, obs), None,
+                    length=num_steps)
+                return state, policy_state, traj
+
+            self._rollout_cache[cache_key] = jax.jit(run)
 
         if obs is None:
             obs = state.dyn.x[jnp.array(self.spec.obs_indices)]
+        return self._rollout_cache[cache_key](
+            state, policy_state, obs, self.base_key, self.env_ids)
 
-        (state, policy_state, _), traj = jax.lax.scan(
-            scan_step, (state, policy_state, obs), None, length=num_steps)
-        return state, policy_state, traj
+    def run_episode(self, state: EnvState, actions):
+        """Step through a pre-scripted action sequence (T, A, B) as one
+        scan; returns (final_state, trajectory TimeStep with leading T
+        axis).  The open-loop analogue of the reference demo loop
+        (lander.py:40-65)."""
+        if 'episode' not in self._rollout_cache:
+
+            def run(state, actions, base_key, env_ids):
+                def scan_step(env_state, action):
+                    env_state, ts = base.step(env_state, action, base_key,
+                                              env_ids, self.params, self.spec)
+                    return env_state, ts
+
+                return jax.lax.scan(scan_step, state, actions)
+
+            self._rollout_cache['episode'] = jax.jit(run)
+        return self._rollout_cache['episode'](state, actions, self.base_key,
+                                              self.env_ids)
 
 
 def make(name: str, num_envs: int = 1, params: Optional[EnvParams] = None,
