@@ -1,0 +1,293 @@
+"""PPO actor-learner over batched copter environments.
+
+The reference delegated learning to external frameworks (NEAT-Gym, AC-Gym
+TD3, nengo — SURVEY.md §2.2 L8); here the learner is part of the framework
+and TPU-native: rollout (a T-step `lax.scan` over the batched env), GAE,
+and the clipped-surrogate updates all live inside ONE jitted train step.
+Under a device mesh the env batch is sharded along `env` and parameters are
+replicated; the SPMD partitioner inserts the gradient all-reduce over ICI
+automatically — no hand-written collectives.
+
+Layout: everything is features-first — obs (obs_dim, N), hidden (h, N),
+actions (A, N) — so the policy matmuls are (h, in) @ (in, N) with the env
+batch on the MXU/VPU lane dimension, exactly the layout the env engine
+produces (envs/base.py).
+
+Action parameterization: the env clips raw motor values to [0, 1]
+(task.py:91) and the useful range around hover is vehicle-dependent (e.g.
+~0.0166 for the active DJI Phantom), so the policy acts in a normalized
+space: env_action = hover * (1 + a), a ~ N(mu, sigma) — a=0 is hover, the
+reachable range is [0, 2*hover].  (The reference's own AltHold task does an
+analogous [-1,1] -> [0,1] rescale, attic/gym_copter/envs/althold.py:36-55.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gym_copter_tpu.control.heuristics import hover_motor_value
+from gym_copter_tpu.core.types import EnvParams
+from gym_copter_tpu.envs import base
+from gym_copter_tpu.envs.base import EnvState, TaskSpec
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 128
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    epochs: int = 4
+    minibatches: int = 4
+    value_coef: float = 0.5
+    entropy_coef: float = 1e-3
+    max_grad_norm: float = 0.5
+    hidden: int = 64
+    init_log_std: float = -1.0
+    obs_scale: float = 10.0  # bounds/altitude are ~10 m (task.py:36-38)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_state: EnvState
+    obs: jnp.ndarray        # (obs_dim, B)
+    key: jnp.ndarray
+    update_idx: jnp.ndarray
+
+
+def init_mlp_params(key, sizes, dtype=jnp.float32):
+    """Orthogonally-initialized MLP; weights (out, in) for features-first."""
+    params = []
+    keys = jax.random.split(key, len(sizes) - 1)
+    for k, (n_in, n_out) in zip(keys, zip(sizes[:-1], sizes[1:])):
+        w = jax.nn.initializers.orthogonal(jnp.sqrt(2.0))(
+            k, (n_out, n_in), dtype)
+        params.append({'w': w, 'b': jnp.zeros((n_out,), dtype)})
+    return params
+
+
+def mlp_apply(params, x):
+    """x: (in, N) -> (out, N); tanh hidden activations."""
+    for i, layer in enumerate(params):
+        x = layer['w'] @ x + layer['b'][:, None]
+        if i < len(params) - 1:
+            x = jnp.tanh(x)
+    return x
+
+
+def init_params(key, obs_size, action_size, cfg: PPOConfig, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    actor = init_mlp_params(k1, (obs_size, cfg.hidden, cfg.hidden, action_size),
+                            dtype)
+    # small final actor layer for near-zero initial means
+    actor[-1]['w'] = actor[-1]['w'] * 0.01
+    critic = init_mlp_params(k2, (obs_size, cfg.hidden, cfg.hidden, 1), dtype)
+    return {
+        'actor': actor,
+        'critic': critic,
+        'log_std': jnp.full((action_size,), cfg.init_log_std, dtype),
+    }
+
+
+def _policy(params, obs, cfg: PPOConfig):
+    """Returns (mean (A,N), log_std (A,1), value (N,))."""
+    x = obs / cfg.obs_scale
+    mean = mlp_apply(params['actor'], x)
+    value = mlp_apply(params['critic'], x)[0]
+    return mean, params['log_std'][:, None], value
+
+
+def _log_prob(mean, log_std, action):
+    """Diagonal-Gaussian log density summed over the action axis (axis 0)."""
+    z = (action - mean) * jnp.exp(-log_std)
+    return jnp.sum(-0.5 * z * z - log_std - 0.5 * jnp.log(2 * jnp.pi), axis=0)
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray       # (obs_dim, B)
+    action: jnp.ndarray    # (A, B) raw normalized action
+    log_prob: jnp.ndarray  # (B,)
+    value: jnp.ndarray     # (B,)
+    reward: jnp.ndarray    # (B,)
+    done: jnp.ndarray      # (B,)
+
+
+def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
+                    base_key, env_ids, optimizer=None):
+    """Builds the jitted PPO train step closed over static config."""
+    hover = hover_motor_value(env_params)
+    if optimizer is None:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.learning_rate),
+        )
+
+    def rollout(params, env_state, obs, key):
+        def step_fn(carry, _):
+            env_state, obs, key = carry
+            key, sub = jax.random.split(key)
+            mean, log_std, value = _policy(params, obs, cfg)
+            noise = jax.random.normal(sub, mean.shape, mean.dtype)
+            action = mean + jnp.exp(log_std) * noise
+            log_prob = _log_prob(mean, log_std, action)
+            env_action = hover * (1.0 + action)
+            env_state, ts = base.step(env_state, env_action, base_key,
+                                      env_ids, env_params, spec)
+            tr = Transition(obs=obs, action=action, log_prob=log_prob,
+                            value=value, reward=ts.reward, done=ts.done)
+            return (env_state, ts.obs, key), tr
+
+        (env_state, obs, key), traj = jax.lax.scan(
+            step_fn, (env_state, obs, key), None, length=cfg.rollout_steps)
+        return env_state, obs, key, traj
+
+    def compute_gae(traj: Transition, last_value):
+        def scan_fn(gae, tr):
+            nonterminal = 1.0 - tr[3]
+            delta = tr[0] + cfg.gamma * tr[1] * nonterminal - tr[2]
+            gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+            return gae, gae
+
+        next_values = jnp.concatenate(
+            [traj.value[1:], last_value[None]], axis=0)
+        _, advantages = jax.lax.scan(
+            scan_fn, jnp.zeros_like(last_value),
+            (traj.reward, next_values, traj.value, traj.done.astype(jnp.float32)),
+            reverse=True)
+        return advantages, advantages + traj.value
+
+    def loss_fn(params, obs, action, old_log_prob, advantage, target):
+        mean, log_std, value = _policy(params, obs, cfg)
+        log_prob = _log_prob(mean, log_std, action)
+        ratio = jnp.exp(log_prob - old_log_prob)
+        adv = (advantage - advantage.mean()) / (advantage.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+        v_loss = 0.5 * jnp.mean((value - target) ** 2)
+        entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+        loss = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
+        return loss, (pg_loss, v_loss, entropy)
+
+    def update_epoch(carry, _):
+        params, opt_state, key, flat = carry
+        obs, action, old_lp, adv, tgt = flat
+        n = obs.shape[-1]
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, n)
+        mb = n // cfg.minibatches
+
+        def update_minibatch(carry, i):
+            params, opt_state = carry
+            idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                params, obs[:, idx], action[:, idx], old_lp[idx],
+                adv[idx], tgt[idx])
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        (params, opt_state), aux = jax.lax.scan(
+            update_minibatch, (params, opt_state),
+            jnp.arange(cfg.minibatches))
+        return (params, opt_state, key, flat), aux
+
+    def train_step(ts: TrainState):
+        env_state, obs, key, traj = rollout(ts.params, ts.env_state, ts.obs,
+                                            ts.key)
+        _, _, last_value = _policy(ts.params, obs, cfg)
+        adv, target = compute_gae(traj, last_value)
+
+        # flatten (T, …, B) -> (…, T*B), features-first preserved
+        def flat2(x):  # (T, B) -> (T*B,)
+            return x.reshape(-1)
+
+        def flat3(x):  # (T, D, B) -> (D, T*B)
+            return jnp.moveaxis(x, 1, 0).reshape(x.shape[1], -1)
+
+        flat = (flat3(traj.obs), flat3(traj.action), flat2(traj.log_prob),
+                flat2(adv), flat2(target))
+
+        (params, opt_state, key, _), aux = jax.lax.scan(
+            update_epoch, (ts.params, ts.opt_state, key, flat), None,
+            length=cfg.epochs)
+
+        metrics = {
+            'reward_per_step': traj.reward.mean(),
+            'episode_return_proxy': traj.reward.sum(0).mean(),
+            'done_rate': traj.done.mean(),
+            'pg_loss': aux[0].mean(),
+            'v_loss': aux[1].mean(),
+            'entropy': aux[2].mean(),
+        }
+        new_ts = TrainState(params=params, opt_state=opt_state,
+                            env_state=env_state, obs=obs, key=key,
+                            update_idx=ts.update_idx + 1)
+        return new_ts, metrics
+
+    return train_step, optimizer
+
+
+def init_train_state(key, env_params: EnvParams, spec: TaskSpec,
+                     cfg: PPOConfig, num_envs: int, optimizer,
+                     env_id_offset: int = 0, dtype=jnp.float32) -> TrainState:
+    kp, kr = jax.random.split(key)
+    params = init_params(kp, spec.obs_size, spec.action_size, cfg, dtype)
+    env_ids = env_id_offset + jnp.arange(num_envs, dtype=jnp.int32)
+    env_state, obs = base.reset(key, env_ids, jnp.zeros(num_envs, jnp.int32),
+                                env_params, spec, dtype=dtype)
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      env_state=env_state, obs=obs, key=kr,
+                      update_idx=jnp.zeros((), jnp.int32))
+
+
+def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
+          num_updates: int = 200, seed: int = 0,
+          cfg: PPOConfig = PPOConfig(), env_params: EnvParams = None,
+          mesh=None, log_every: int = 10, callback=None):
+    """Host-side training loop (convenience wrapper; the real work is the
+    jitted train_step).  If `mesh` is given, env state is sharded along the
+    batch axis and params replicated before stepping."""
+    from gym_copter_tpu.envs import tasks as task_registry
+    from gym_copter_tpu.envs.registry import default_params
+
+    spec = task_registry.ALL_TASKS[env_name]
+    if env_params is None:
+        env_params = default_params()
+
+    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed + 1)
+    env_ids = jnp.arange(num_envs, dtype=jnp.int32)
+    train_step, optimizer = make_train_step(env_params, spec, cfg, base_key,
+                                            env_ids)
+    ts = init_train_state(key, env_params, spec, cfg, num_envs, optimizer)
+
+    if mesh is not None:
+        from gym_copter_tpu.parallel import sharding as sh
+        ts = TrainState(
+            params=sh.replicate(ts.params, mesh),
+            opt_state=sh.replicate(ts.opt_state, mesh),
+            env_state=sh.shard_env_state(ts.env_state, mesh),
+            obs=sh.shard_env_state(ts.obs, mesh),
+            key=ts.key, update_idx=ts.update_idx)
+
+    step = jax.jit(train_step, donate_argnums=0)
+    history = []
+    for i in range(num_updates):
+        ts, metrics = step(ts)
+        if i % log_every == 0 or i == num_updates - 1:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            history.append((i, metrics))
+            if callback:
+                callback(i, metrics)
+            else:
+                print(f'update {i:4d}  reward/step {metrics["reward_per_step"]:8.4f}  '
+                      f'return~ {metrics["episode_return_proxy"]:8.2f}  '
+                      f'done {metrics["done_rate"]:.3f}')
+    return ts, history
