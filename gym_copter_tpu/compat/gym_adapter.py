@@ -135,7 +135,10 @@ class GymCopterEnv(gym.Env):
 
 def _state_names(spec):
     full = list(C.STATE_NAMES_12)
-    return [full[i] for i in spec.obs_indices]
+    names = [full[i] for i in spec.obs_indices]
+    if spec.kind == 'target':
+        names += ['TargetX', 'TargetY', 'TargetAlt']
+    return names
 
 
 def _register_all():

@@ -54,6 +54,13 @@ class TaskParams(NamedTuple):
     max_angle: float = math.radians(45.0)
     bounds: float = 10.0
     initial_altitude: float = 10.0
+    # auxiliary-task constants (attic):
+    althold_target: float = 10.0          # attic/gym_copter/envs/althold.py:21
+    althold_tolerance: float = 1.0
+    takeoff_target: float = 5.0           # attic/gym_copter/envs/takeoff.py (TARGET_ALTITUDE)
+    target_orbit_radius: float = 10.0     # attic/gym_copter/envs/target.py:44-47
+    target_dtheta: float = 0.0025
+    target_altitude: float = 10.0         # target.py:68
 
 
 class LanderRewardParams(NamedTuple):

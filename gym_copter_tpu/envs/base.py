@@ -36,14 +36,36 @@ class TaskSpec(NamedTuple):
     """Static (hashable) task description.
 
     kind:         'lander' (shaped reward + landing bonus + landed
-                  termination, gym_copter/envs/lander.py:46-74) or 'hover'
-                  (+1 per surviving step, attic/gym_copter/envs/hover.py:18-21).
+                  termination, gym_copter/envs/lander.py:46-74), 'hover'
+                  (+1 per surviving step, attic/gym_copter/envs/hover.py:18-21),
+                  'althold' (+1 per step within tolerance of the target
+                  altitude, attic/gym_copter/envs/althold.py:36-55),
+                  'takeoff' (-|alt-target| shaping delta,
+                  attic/gym_copter/envs/takeoff.py:83-87), 'distance'
+                  (sqrt(x^2+y^2) shaping delta, attic distance.py:79-83),
+                  or 'target' (15-dim obs with a circling target, reward
+                  stubbed 0, attic target.py:44-51).
     obs_indices:  which of the 12 state slots form the observation
                   (1D: (z,dz); 2D: (y,dy,z,dz,phi,dphi); 3D lander drops
                   (psi,dpsi); hover3d keeps all 12 — SURVEY.md §2.4).
     mix_matrix:   (4, action_size) motor-mix rows, motors4 = mix @ action
                   (1D: broadcast, 2D: [m0,m1,m1,m0], 3D: identity —
                   attic lander1d.py:47-49, lander2d.py:49-51).
+    action_mode:  'clip01' (clip to [0,1], task.py:91), 'rescale01'
+                  ((1+a)/2, althold.py:38-42 / target.py:38-40), or 'raw'
+                  (motor values passed straight through, takeoff.py:67).
+    termination:  'standard' (oob/tilt/crash/landed, task.py:111-130),
+                  'crash_only' (target.py:42), or 'none' (registry step cap
+                  only, takeoff/distance/althold).
+    skip_when_landed: the active task layer skips the dynamics once safely
+                  landed (task.py:86-94); the aux tasks drive the dynamics
+                  directly and must integrate from the ground up.
+    start_altitude: overrides params.task.initial_altitude (aux tasks start
+                  grounded at 0 or at the hold target).
+    negate_obs:   observation negated into ENU (althold returns positive
+                  altitude/climb-rate, althold.py:48-50).
+    perturb_on_reset: the Lander/Hover random wind kick (task.py:177-188);
+                  off for the aux tasks.
     """
 
     name: str
@@ -51,10 +73,16 @@ class TaskSpec(NamedTuple):
     obs_indices: Tuple[int, ...]
     action_size: int
     mix_matrix: Tuple[Tuple[float, ...], ...]
+    action_mode: str = 'clip01'
+    termination: str = 'standard'
+    skip_when_landed: bool = True
+    start_altitude: Optional[float] = None
+    negate_obs: bool = False
+    perturb_on_reset: bool = True
 
     @property
     def obs_size(self) -> int:
-        return len(self.obs_indices)
+        return len(self.obs_indices) + (3 if self.kind == 'target' else 0)
 
 
 class EnvState(NamedTuple):
@@ -88,26 +116,54 @@ def _tree_where(cond, a, b):
 
 
 def _shaping(x, params: EnvParams, spec: TaskSpec):
-    """Lander potential: -(25·‖(x,dx,y,dy,z,dz)‖ + 50·‖(psi,dpsi)‖),
-    minus 100 when |dz| exceeds 10 (gym_copter/envs/lander.py:52-56)."""
-    rp = params.reward
-    pos = x[0:6]
-    yaw = x[10:12]
-    s = -(rp.xyz_penalty_factor * jnp.sqrt(jnp.sum(pos * pos, axis=0))
-          + rp.yaw_penalty_factor * jnp.sqrt(jnp.sum(yaw * yaw, axis=0)))
-    s = s - jnp.where(jnp.abs(x[C.STATE_Z_DOT]) > rp.dz_max,
-                      jnp.asarray(rp.dz_penalty, x.dtype),
-                      jnp.asarray(0.0, x.dtype))
-    return s
+    """Per-kind shaping potential.  Lander: -(25·‖(x..dz)‖ + 50·‖(psi,dpsi)‖)
+    minus 100 when |dz| exceeds 10 (gym_copter/envs/lander.py:52-56);
+    takeoff: -|alt-target| (takeoff.py:83-87); distance: sqrt(x²+y²)
+    (distance.py:79-83); other kinds carry no shaping."""
+    dtype = x.dtype
+    if spec.kind == 'lander':
+        rp = params.reward
+        pos = x[0:6]
+        yaw = x[10:12]
+        s = -(rp.xyz_penalty_factor * jnp.sqrt(jnp.sum(pos * pos, axis=0))
+              + rp.yaw_penalty_factor * jnp.sqrt(jnp.sum(yaw * yaw, axis=0)))
+        s = s - jnp.where(jnp.abs(x[C.STATE_Z_DOT]) > rp.dz_max,
+                          jnp.asarray(rp.dz_penalty, dtype),
+                          jnp.asarray(0.0, dtype))
+        return s
+    if spec.kind == 'takeoff':
+        altitude = -x[C.STATE_Z]
+        return -jnp.abs(altitude - jnp.asarray(params.task.takeoff_target,
+                                               dtype))
+    if spec.kind == 'distance':
+        return jnp.sqrt(x[C.STATE_X] ** 2 + x[C.STATE_Y] ** 2)
+    return jnp.zeros(x.shape[1:], dtype)
 
 
 def _reward(entry_status, x, prev_shaping, params: EnvParams, spec: TaskSpec):
     """Returns (reward, new_shaping, done_from_reward) for the task kind."""
     dtype = x.dtype
+    zeros = jnp.zeros(x.shape[1:], dtype)
+    no_done = jnp.zeros(x.shape[1:], bool)
+
     if spec.kind == 'hover':
-        ones = jnp.ones(x.shape[1:], dtype)
-        zeros = jnp.zeros(x.shape[1:], dtype)
-        return ones, zeros, jnp.zeros(x.shape[1:], bool)
+        return jnp.ones(x.shape[1:], dtype), zeros, no_done
+
+    if spec.kind == 'althold':
+        # +1 per step within tolerance of the hold target (althold.py:52;
+        # the reference returns the *cumulative* total each step — a gym-API
+        # quirk; here the reward is the per-step increment)
+        altitude = -x[C.STATE_Z]
+        on_target = (jnp.abs(altitude - params.task.althold_target)
+                     < params.task.althold_tolerance)
+        return on_target.astype(dtype), zeros, no_done
+
+    if spec.kind == 'target':
+        return zeros, zeros, no_done  # reward stubbed 0 (target.py:50-51)
+
+    if spec.kind in ('takeoff', 'distance'):
+        shaping = _shaping(x, params, spec)
+        return shaping - prev_shaping, shaping, no_done
 
     rp = params.reward
     shaping = _shaping(x, params, spec)
@@ -118,6 +174,24 @@ def _reward(entry_status, x, prev_shaping, params: EnvParams, spec: TaskSpec):
                                 jnp.asarray(rp.inside_radius_bonus, dtype),
                                 jnp.asarray(0.0, dtype))
     return reward, shaping, landed
+
+
+def _get_obs(x, steps, params: EnvParams, spec: TaskSpec):
+    """Observation extraction: static row slice of the (12, B) state, with
+    optional ENU negation (althold.py:48-50) and the circling-target rows
+    for the 'target' kind (target.py:44-47,68: theta advances 0.0025/step,
+    orbit radius 10, constant target altitude 10)."""
+    obs = x[jnp.array(spec.obs_indices)]
+    if spec.negate_obs:
+        obs = -obs
+    if spec.kind == 'target':
+        t = params.task
+        theta = t.target_dtheta * (steps - 1).astype(x.dtype)
+        tx = t.target_orbit_radius * jnp.cos(theta)
+        ty = t.target_orbit_radius * jnp.sin(theta)
+        talt = jnp.full_like(tx, t.target_altitude)
+        obs = jnp.concatenate([obs, tx[None], ty[None], talt[None]], axis=0)
+    return obs
 
 
 def _initial_forces(base_key, env_ids, episode, params: EnvParams, dtype):
@@ -161,7 +235,9 @@ def reset(
     b = env_ids.shape[0]
 
     if pose is None:
-        pose = (0.0, 0.0, params.task.initial_altitude, 0.0, 0.0)
+        altitude = (spec.start_altitude if spec.start_altitude is not None
+                    else params.task.initial_altitude)
+        pose = (0.0, 0.0, altitude, 0.0, 0.0)
     x = jnp.zeros((12, b), dtype)
     x = x.at[C.STATE_X].set(jnp.asarray(pose[0], dtype))
     x = x.at[C.STATE_Y].set(jnp.asarray(pose[1], dtype))
@@ -169,23 +245,26 @@ def reset(
     x = x.at[C.STATE_PHI].set(jnp.radians(jnp.asarray(pose[3], dtype)))
     x = x.at[C.STATE_THETA].set(jnp.radians(jnp.asarray(pose[4], dtype)))
 
-    if perturb_force is None:
+    if perturb_force is not None:
+        forces = jnp.asarray(perturb_force, dtype)
+    elif spec.perturb_on_reset:
         forces = _initial_forces(base_key, env_ids, episode, params, dtype)
     else:
-        forces = jnp.asarray(perturb_force, dtype)
+        forces = jnp.zeros((6, b), dtype)
 
     dyn = dynamics.init_state(x, dtype=dtype)
     dyn = dynamics.perturb(dyn, forces, params.vehicle)
 
     prev_shaping = _shaping(x, params, spec)
+    steps = jnp.ones((b,), jnp.int32)
     state = EnvState(
         dyn=dyn,
         prev_shaping=prev_shaping,
-        steps=jnp.ones((b,), jnp.int32),
+        steps=steps,
         episode=episode,
         initial_random_x=jnp.sign(forces[1]),
     )
-    return state, x[jnp.array(spec.obs_indices)]
+    return state, _get_obs(x, steps, params, spec)
 
 
 def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
@@ -195,34 +274,50 @@ def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
     entry_status = state.dyn.status
     landed = entry_status == C.STATUS_LANDED
 
-    # clip to [0,1] despite the declared [-1,1] action space (task.py:91)
-    motors = jnp.clip(jnp.asarray(action, x_dtype), 0.0, 1.0)
+    action = jnp.asarray(action, x_dtype)
+    if spec.action_mode == 'clip01':
+        # clip to [0,1] despite the declared [-1,1] action space (task.py:91)
+        motors = jnp.clip(action, 0.0, 1.0)
+    elif spec.action_mode == 'rescale01':
+        motors = (1.0 + action) / 2.0       # althold.py:38-42, target.py:38-40
+    else:
+        motors = action                     # takeoff.py:67 raw pass-through
     spinning = (~landed) & (jnp.sum(motors, axis=0) > 0)
     mix = jnp.asarray(spec.mix_matrix, x_dtype)
     motors4 = mix @ motors  # (4, B)
 
     stepped = dynamics.step(state.dyn, motors4, params.vehicle,
                             params.world, params.task.dt)
-    # motors (and the whole dynamics update) are skipped once safely landed
-    # (task.py:86-94)
-    dyn = _tree_where(landed, state.dyn, stepped)
+    if spec.skip_when_landed:
+        # motors (and the whole dynamics update) are skipped once safely
+        # landed (task.py:86-94)
+        dyn = _tree_where(landed, state.dyn, stepped)
+    else:
+        dyn = stepped
     x = dyn.x
 
     reward, shaping, done_r = _reward(entry_status, x, state.prev_shaping,
                                       params, spec)
 
     t = params.task
-    oob = (jnp.abs(x[C.STATE_X]) >= t.bounds) | (jnp.abs(x[C.STATE_Y]) >= t.bounds)
-    tilt = ((jnp.abs(x[C.STATE_PHI]) >= t.max_angle)
-            | (jnp.abs(x[C.STATE_THETA]) >= t.max_angle))
-    crashed = entry_status == C.STATUS_CRASHED
+    if spec.termination == 'standard':
+        oob = ((jnp.abs(x[C.STATE_X]) >= t.bounds)
+               | (jnp.abs(x[C.STATE_Y]) >= t.bounds))
+        tilt = ((jnp.abs(x[C.STATE_PHI]) >= t.max_angle)
+                | (jnp.abs(x[C.STATE_THETA]) >= t.max_angle))
+        crashed = entry_status == C.STATUS_CRASHED
+        penalty = jnp.asarray(t.out_of_bounds_penalty, x_dtype)
+        # out-of-bounds SUBTRACTS the penalty; tilt REPLACES the reward
+        # (task.py:111-118)
+        reward = jnp.where(oob, reward - penalty,
+                           jnp.where(tilt, -penalty, reward))
+        done = done_r | oob | tilt | crashed
+    elif spec.termination == 'crash_only':
+        done = dyn.status == C.STATUS_CRASHED   # target.py:41-42 (post-step)
+    else:
+        done = jnp.zeros(x.shape[1:], bool)
 
-    penalty = jnp.asarray(t.out_of_bounds_penalty, x_dtype)
-    # out-of-bounds SUBTRACTS the penalty; tilt REPLACES the reward
-    # (task.py:111-118)
-    reward = jnp.where(oob, reward - penalty, jnp.where(tilt, -penalty, reward))
-
-    done = done_r | oob | tilt | crashed | (state.steps == t.max_steps)
+    done = done | (state.steps == t.max_steps)
 
     new_state = EnvState(
         dyn=dyn,
@@ -231,7 +326,9 @@ def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
         episode=state.episode,
         initial_random_x=state.initial_random_x,
     )
-    obs = x[jnp.array(spec.obs_indices)]
+    # target-kind obs uses the entry step count: the n-th step call sees
+    # theta = dtheta*(n-1), matching target.py:44-47's post-increment
+    obs = _get_obs(x, state.steps, params, spec)
     return new_state, obs, reward, done, spinning
 
 

@@ -105,7 +105,8 @@ class CopterEnv:
             self._rollout_cache[cache_key] = jax.jit(run)
 
         if obs is None:
-            obs = state.dyn.x[jnp.array(self.spec.obs_indices)]
+            obs = base._get_obs(state.dyn.x, state.steps, self.params,
+                                self.spec)
         return self._rollout_cache[cache_key](
             state, policy_state, obs, self.base_key, self.env_ids)
 

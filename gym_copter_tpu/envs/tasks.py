@@ -38,6 +38,37 @@ HOVER_1D = TaskSpec('Hover1D', 'hover', OBS_1D, 1, _ONE_MOTOR)
 HOVER_2D = TaskSpec('Hover2D', 'hover', OBS_2D, 2, _TWO_MOTOR)
 HOVER_3D = TaskSpec('Hover3D', 'hover', OBS_3D_FULL, 4, _IDENTITY4)
 
+# Auxiliary attic tasks (SURVEY.md §2.2):
+# AltHold: starts AT the hold target, 1-dim action rescaled [-1,1]->[0,1]
+# on all motors, obs (altitude, climb rate) in ENU, +1/step within 1 m of
+# 10 m (attic/gym_copter/envs/althold.py:21-64).
+ALTHOLD = TaskSpec('AltHold', 'althold', OBS_1D, 1, _ONE_MOTOR,
+                   action_mode='rescale01', termination='none',
+                   skip_when_landed=False, start_altitude=10.0,
+                   negate_obs=True, perturb_on_reset=False)
+# Takeoff: starts grounded, raw 4-motor action, shaping -|alt-5| delta
+# (attic/gym_copter/envs/takeoff.py:30-91).
+TAKEOFF = TaskSpec('Takeoff', 'takeoff', OBS_3D_LANDER, 4, _IDENTITY4,
+                   action_mode='raw', termination='none',
+                   skip_when_landed=False, start_altitude=0.0,
+                   perturb_on_reset=False)
+# Distance: starts grounded, shaping sqrt(x^2+y^2) delta — maximize
+# horizontal distance (attic/gym_copter/envs/distance.py:20-86).
+DISTANCE = TaskSpec('Distance', 'distance', OBS_3D_LANDER, 4, _IDENTITY4,
+                    action_mode='raw', termination='none',
+                    skip_when_landed=False, start_altitude=0.0,
+                    perturb_on_reset=False)
+# Target: 15-dim obs (12 state + target x/y/altitude), target circling at
+# radius 10 with dtheta=0.0025/step, reward stubbed 0, done on crash
+# (attic/gym_copter/envs/target.py:13-69).  Unlike the reference — whose
+# orbit angle never resets across episodes and whose reset returns stale
+# zero target coordinates — the angle here is derived from the episode
+# step count (theta = 0.0025*(n-1)).
+TARGET = TaskSpec('Target', 'target', OBS_3D_FULL, 4, _IDENTITY4,
+                  action_mode='rescale01', termination='crash_only',
+                  skip_when_landed=False, start_altitude=0.0,
+                  perturb_on_reset=False)
+
 ALL_TASKS = {
     'Lander1D-v0': LANDER_1D,
     'Lander2D-v0': LANDER_2D,
@@ -47,6 +78,10 @@ ALL_TASKS = {
     'Hover1D-v0': HOVER_1D,
     'Hover2D-v0': HOVER_2D,
     'Hover3D-v0': HOVER_3D,
+    'AltHold-v0': ALTHOLD,
+    'Takeoff-v0': TAKEOFF,
+    'Distance-v0': DISTANCE,
+    'Target-v0': TARGET,
 }
 
 # Per-variant CSV column names (reference STATE_NAMES, e.g. lander.py:30-31)

@@ -50,6 +50,10 @@ class PPOConfig(NamedTuple):
     hidden: int = 64
     init_log_std: float = -1.0
     obs_scale: float = 10.0  # bounds/altitude are ~10 m (task.py:36-38)
+    # constant added to the actor-mean output: 0.0 starts the policy AT
+    # hover (task pre-solved — useful for control experiments); -1.0 starts
+    # with motors off, so hovering must actually be learned.
+    init_action_bias: float = -1.0
 
 
 class TrainState(NamedTuple):
@@ -98,7 +102,7 @@ def init_params(key, obs_size, action_size, cfg: PPOConfig, dtype=jnp.float32):
 def _policy(params, obs, cfg: PPOConfig):
     """Returns (mean (A,N), log_std (A,1), value (N,))."""
     x = obs / cfg.obs_scale
-    mean = mlp_apply(params['actor'], x)
+    mean = mlp_apply(params['actor'], x) + cfg.init_action_bias
     value = mlp_apply(params['critic'], x)[0]
     return mean, params['log_std'][:, None], value
 
@@ -247,6 +251,39 @@ def init_train_state(key, env_params: EnvParams, spec: TaskSpec,
                       update_idx=jnp.zeros((), jnp.int32))
 
 
+def make_eval_fn(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
+                 num_envs: int = 256, num_steps: int = 999, seed: int = 1000):
+    """Deterministic-policy evaluation: fresh episodes, mean actions, return
+    per episode averaged over the batch — the learning-curve metric
+    (crashing early scores ~140 on Hover3D, perfect hovering ~999)."""
+    hover = hover_motor_value(env_params)
+    base_key = jax.random.PRNGKey(seed)
+    env_ids = jnp.arange(num_envs, dtype=jnp.int32)
+
+    @jax.jit
+    def evaluate(params):
+        env_state, obs = base.reset(base_key, env_ids,
+                                    jnp.zeros(num_envs, jnp.int32),
+                                    env_params, spec)
+
+        def step_fn(carry, _):
+            env_state, obs, total, done_seen = carry
+            mean, _, _ = _policy(params, obs, cfg)
+            env_action = hover * (1.0 + mean)
+            env_state, ts = base.step(env_state, env_action, base_key,
+                                      env_ids, env_params, spec)
+            total = total + jnp.where(done_seen, 0.0, ts.reward)
+            return (env_state, ts.obs, total, done_seen | ts.done), None
+
+        init = (env_state, obs, jnp.zeros(num_envs, jnp.float32),
+                jnp.zeros(num_envs, bool))
+        (_, _, total, done_seen), _ = jax.lax.scan(step_fn, init, None,
+                                                   length=num_steps)
+        return total.mean(), total
+
+    return evaluate
+
+
 def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
           num_updates: int = 200, seed: int = 0,
           cfg: PPOConfig = PPOConfig(), env_params: EnvParams = None,
@@ -278,16 +315,18 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
             key=ts.key, update_idx=ts.update_idx)
 
     step = jax.jit(train_step, donate_argnums=0)
+    evaluate = make_eval_fn(env_params, spec, cfg)
     history = []
     for i in range(num_updates):
         ts, metrics = step(ts)
         if i % log_every == 0 or i == num_updates - 1:
             metrics = {k: float(v) for k, v in metrics.items()}
+            metrics['eval_return'] = float(evaluate(ts.params)[0])
             history.append((i, metrics))
             if callback:
                 callback(i, metrics)
             else:
-                print(f'update {i:4d}  reward/step {metrics["reward_per_step"]:8.4f}  '
-                      f'return~ {metrics["episode_return_proxy"]:8.2f}  '
+                print(f'update {i:4d}  eval_return {metrics["eval_return"]:8.2f}  '
+                      f'reward/step {metrics["reward_per_step"]:7.4f}  '
                       f'done {metrics["done_rate"]:.3f}')
     return ts, history
