@@ -133,6 +133,43 @@ class GymCopterEnv(gym.Env):
         super().close()
 
 
+class GymCopterVisualEnv(GymCopterEnv):
+    """Single-env visual variant — the reference's LanderVisual / HoverVisual
+    / LanderDVS / HoverDVS wrappers (attic/gym_copter/envs/lander.py:101-138,
+    hover3d.py:52-89): `self.image` holds the latest (res, res) camera frame
+    (binary) or event frame ({-1,0,+1} when dvs=True)."""
+
+    RES = 16
+
+    def __init__(self, name='Lander-v0', dvs=False, res=None, **kwargs):
+        super().__init__(name, **kwargs)
+        from gym_copter_tpu.sensors.vision import DVS, VisionSensor
+        res = res or self.RES
+        self._sensor = DVS(res=res) if dvs else VisionSensor(res=res)
+        self._dvs = dvs
+        self._prev = None
+        self.image = None
+
+    def reset(self, **kwargs):
+        self._prev = None
+        self.image = None
+        return super().reset(**kwargs)
+
+    def step(self, action):
+        result = super().step(action)
+        x, y, z, phi, theta, psi = self.pose
+        curr = np.asarray(self._sensor.get_image(
+            x, y, max(-z, 1e-6), np.degrees(phi), np.degrees(theta),
+            np.degrees(psi)))
+        if self._dvs:
+            self.image = (np.zeros_like(curr) if self._prev is None
+                          else np.sign(self._prev - curr))
+            self._prev = curr
+        else:
+            self.image = curr
+        return result
+
+
 def _state_names(spec):
     full = list(C.STATE_NAMES_12)
     names = [full[i] for i in spec.obs_indices]
