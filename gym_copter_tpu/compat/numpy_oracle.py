@@ -53,10 +53,22 @@ class OracleDynamics:
 
         omegas = np.asarray(motorvals, dtype=np.float64) * vp.maxrpm * math.pi / 30.0
         o2 = omegas ** 2
-        u1 = vp.B * np.sum(o2)
-        u2 = vp.L * vp.B * ((o2[1] + o2[2]) - (o2[0] + o2[3]))
-        u3 = vp.L * vp.B * ((o2[1] + o2[3]) - (o2[0] + o2[2]))
-        u4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+        if self.p.lift_model == 'blade_element':
+            # attic mars variant (attic/mars/dynamics/__init__.py:135-164)
+            velocity = omegas * (vp.L / 2.0)
+            s_area = 0.05 * vp.L * 4.0
+            lift = 0.5 * self.p.world.rho * s_area * vp.C_L * velocity ** 2
+            u1 = np.sum(lift)
+            u2 = (lift[1] + lift[2]) - (lift[0] + lift[3])
+            u3 = (lift[1] + lift[3]) - (lift[0] + lift[2])
+            u4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+            omega_dist = (omegas[0] + omegas[1]) - (omegas[2] + omegas[3])
+        else:
+            u1 = vp.B * np.sum(o2)
+            u2 = vp.L * vp.B * ((o2[1] + o2[2]) - (o2[0] + o2[3]))
+            u3 = vp.L * vp.B * ((o2[1] + o2[3]) - (o2[0] + o2[2]))
+            u4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+            omega_dist = 0.0
 
         phi, theta, psi = self.x[6], self.x[8], self.x[10]
         sph, cph = math.sin(phi), math.cos(phi)
@@ -103,9 +115,11 @@ class OracleDynamics:
                 self.x[5],
                 netz + p[2],
                 phidot,
-                psidot * thedot * (vp.Iy - vp.Iz) / vp.Ix + u2 / vp.Ix + p[3],
+                psidot * thedot * (vp.Iy - vp.Iz) / vp.Ix
+                - vp.Jr / vp.Ix * thedot * omega_dist + u2 / vp.Ix + p[3],
                 thedot,
-                -(psidot * phidot * (vp.Iz - vp.Ix) / vp.Iy + u3 / vp.Iy) + p[4],
+                -(psidot * phidot * (vp.Iz - vp.Ix) / vp.Iy
+                  + vp.Jr / vp.Iy * phidot * omega_dist + u3 / vp.Iy) + p[4],
                 psidot,
                 thedot * phidot * (vp.Ix - vp.Iy) / vp.Iz + u4 / vp.Iz + p[5],
             ])

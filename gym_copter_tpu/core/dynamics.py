@@ -91,10 +91,13 @@ def step(
     vp: VehicleParams,
     world: WorldParams,
     dt: float,
+    lift_model: str = 'bouabdallah',
 ) -> DynamicsState:
     """One forward-Euler physics step == one `Dynamics.setMotors` call.
 
     motorvals: (4,) or (4, B) motor values in [0, 1].
+    lift_model: 'bouabdallah' (active dynamics) or 'blade_element' (the
+    attic mars variant — see EnvParams.lift_model).
     Returns the updated DynamicsState.  Fully branchless; safe under jit,
     vmap, scan, and shard_map.
     """
@@ -109,12 +112,27 @@ def step(
     # float64 trajectories agree to the last bit in non-chaotic regimes
     omegas = motorvals * vp.maxrpm * math.pi / 30.0
     o2 = omegas * omegas
-    U1 = vp.B * (o2[0] + o2[1] + o2[2] + o2[3])
-    # quad-X ArduPilot mixing (reference :231-247)
-    U2 = vp.L * vp.B * ((o2[1] + o2[2]) - (o2[0] + o2[3]))
-    U3 = vp.L * vp.B * ((o2[1] + o2[3]) - (o2[0] + o2[2]))
-    U4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
-    # rotor disturbance term hardcoded zero in the reference (:134-135)
+    if lift_model == 'blade_element':
+        # attic mars variant (attic/mars/dynamics/__init__.py:135-164):
+        # per-motor blade-element lift 0.5*rho*S*C_L*(w*L/2)^2 with
+        # S=0.05*L*4; roll/pitch from the lift mix (no arm-length factor);
+        # live rotor-disturbance term Omega = u4(omegas), unsquared (:145)
+        velocity = omegas * (vp.L / 2.0)
+        s_area = 0.05 * vp.L * 4.0
+        lift = 0.5 * world.rho * s_area * vp.C_L * (velocity * velocity)
+        U1 = lift[0] + lift[1] + lift[2] + lift[3]
+        U2 = (lift[1] + lift[2]) - (lift[0] + lift[3])
+        U3 = (lift[1] + lift[3]) - (lift[0] + lift[2])
+        U4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+        Omega = (omegas[0] + omegas[1]) - (omegas[2] + omegas[3])
+    else:
+        U1 = vp.B * (o2[0] + o2[1] + o2[2] + o2[3])
+        # quad-X ArduPilot mixing (reference :231-247)
+        U2 = vp.L * vp.B * ((o2[1] + o2[2]) - (o2[0] + o2[3]))
+        U3 = vp.L * vp.B * ((o2[1] + o2[3]) - (o2[0] + o2[2]))
+        U4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+        # rotor disturbance term hardcoded zero in the reference (:134-135)
+        Omega = None
 
     # --- thrust vector into inertial frame, NED (reference :137-143) ---
     phi, theta, psi = x[C.STATE_PHI], x[C.STATE_THETA], x[C.STATE_PSI]
@@ -146,6 +164,22 @@ def step(
     phidot = x[C.STATE_PHI_DOT]
     thedot = x[C.STATE_THETA_DOT]
     psidot = x[C.STATE_PSI_DOT]
+    if Omega is None:
+        # Omega == 0: the Jr gyroscopic terms vanish (expressions kept
+        # exactly as the active reference writes them, :275-290)
+        phi_ddot = (psidot * thedot * (vp.Iy - vp.Iz) / vp.Ix
+                    + U2 / vp.Ix + perturb[3])
+        theta_ddot = (-(psidot * phidot * (vp.Iz - vp.Ix) / vp.Iy
+                        + U3 / vp.Iy) + perturb[4])
+    else:
+        # attic mars Eq.12 with live Omega (attic :280-289), including the
+        # same precedence quirks
+        phi_ddot = (psidot * thedot * (vp.Iy - vp.Iz) / vp.Ix
+                    - vp.Jr / vp.Ix * thedot * Omega
+                    + U2 / vp.Ix + perturb[3])
+        theta_ddot = (-(psidot * phidot * (vp.Iz - vp.Ix) / vp.Iy
+                        + vp.Jr / vp.Iy * phidot * Omega
+                        + U3 / vp.Iy) + perturb[4])
     dxdt = jnp.stack(
         [
             x[C.STATE_X_DOT],
@@ -155,9 +189,9 @@ def step(
             x[C.STATE_Z_DOT],
             netz + perturb[2],
             phidot,
-            psidot * thedot * (vp.Iy - vp.Iz) / vp.Ix + U2 / vp.Ix + perturb[3],
+            phi_ddot,
             thedot,
-            -(psidot * phidot * (vp.Iz - vp.Ix) / vp.Iy + U3 / vp.Iy) + perturb[4],
+            theta_ddot,
             psidot,
             thedot * phidot * (vp.Ix - vp.Iy) / vp.Iz + U4 / vp.Iz + perturb[5],
         ]

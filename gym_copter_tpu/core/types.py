@@ -32,6 +32,8 @@ class VehicleParams(NamedTuple):
     Iz: float      # moment of inertia about Z [kg m^2]
     Jr: float      # rotor inertia [kg m^2]
     maxrpm: float  # maximum motor speed [rpm]
+    C_L: float = 0.4  # lift coefficient, blade-element model only
+                      # (attic/mars/dynamics/ingenuity.py:60-62)
 
 
 class WorldParams(NamedTuple):
@@ -75,9 +77,18 @@ class LanderRewardParams(NamedTuple):
 
 
 class EnvParams(NamedTuple):
-    """Full environment configuration pytree passed into the pure step."""
+    """Full environment configuration pytree passed into the pure step.
+
+    lift_model: 'bouabdallah' — Eq.6 thrust B*w^2 with Omega=0 (the active
+    dynamics, gym_copter/dynamics/__init__.py:114-135) — or
+    'blade_element' — the attic mars variant: per-motor lift
+    0.5*rho*S*C_L*(w*L/2)^2 with S=0.05*L*4 and a live rotor-disturbance
+    term Omega=u4(omegas) feeding the Jr gyroscopic terms
+    (attic/mars/dynamics/__init__.py:135-164, 280-289).
+    """
 
     vehicle: VehicleParams
     world: WorldParams = WorldParams()
     task: TaskParams = TaskParams()
     reward: LanderRewardParams = LanderRewardParams()
+    lift_model: str = 'bouabdallah'

@@ -287,7 +287,8 @@ def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
     motors4 = mix @ motors  # (4, B)
 
     stepped = dynamics.step(state.dyn, motors4, params.vehicle,
-                            params.world, params.task.dt)
+                            params.world, params.task.dt,
+                            lift_model=params.lift_model)
     if spec.skip_when_landed:
         # motors (and the whole dynamics update) are skipped once safely
         # landed (task.py:86-94)

@@ -140,6 +140,8 @@ def make(name: str, num_envs: int = 1, params: Optional[EnvParams] = None,
     if name not in tasks.ALL_TASKS:
         raise KeyError(
             f'Unknown env {name!r}; available: {sorted(tasks.ALL_TASKS)}')
+    if params is None and name in tasks.PRESET_PARAMS:
+        params = tasks.PRESET_PARAMS[name]()
     return CopterEnv(tasks.ALL_TASKS[name], params=params, num_envs=num_envs,
                      seed=seed, env_id_offset=env_id_offset, dtype=dtype)
 

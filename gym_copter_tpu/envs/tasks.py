@@ -84,6 +84,24 @@ ALL_TASKS = {
     'Target-v0': TARGET,
 }
 
+# Named parameter presets: Mars/Ingenuity world-parameter dynamics
+# (attic/mars/dynamics/ingenuity.py:44-76 — quad-X "coaxial" Ingenuity
+# vehicle, Mars gravity/air density, blade-element lift model).  Resolved by
+# registry.make(); e.g. make('Lander3DMars-v0').
+def _mars_params():
+    from gym_copter_tpu.core.types import EnvParams
+    from gym_copter_tpu.core import vehicles
+    return EnvParams(vehicle=vehicles.INGENUITY, world=vehicles.MARS,
+                     lift_model='blade_element')
+
+
+PRESET_PARAMS = {
+    'Lander3DMars-v0': _mars_params,
+    'Hover3DMars-v0': _mars_params,
+}
+ALL_TASKS['Lander3DMars-v0'] = LANDER_3D
+ALL_TASKS['Hover3DMars-v0'] = HOVER_3D
+
 # Per-variant CSV column names (reference STATE_NAMES, e.g. lander.py:30-31)
 STATE_NAMES = {
     'lander1d': ['Z', 'dZ'],

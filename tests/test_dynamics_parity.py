@@ -168,3 +168,53 @@ def test_batch_polymorphism():
         np.testing.assert_allclose(np.asarray(ds.x[:, i]), np.asarray(d1.x),
                                    rtol=1e-12, atol=1e-12)
         assert int(ds.status[i]) == int(d1.status)
+
+
+def test_mars_blade_element_parity():
+    """The attic mars variant: blade-element lift, Mars world params, live
+    Omega gyroscopic terms (attic/mars/dynamics/__init__.py:135-164,
+    280-289) — JAX vs oracle."""
+    from gym_copter_tpu.core.types import EnvParams
+    mars = EnvParams(vehicle=vehicles.INGENUITY, world=vehicles.MARS,
+                     lift_model='blade_element')
+    rng = np.random.default_rng(3)
+    x0 = np.zeros(12)
+    x0[C.STATE_Z] = -10.0
+    forces = rng.uniform(-5, 5, 6)
+    motors = rng.uniform(0.3, 0.7, (200, 4))
+
+    d = OracleDynamics(mars)
+    d.set_state(x0)
+    d.apply_force(forces)
+    oxs = []
+    for m in motors:
+        d.step(m)
+        oxs.append(d.x.copy())
+    oxs = np.array(oxs)
+
+    @jax.jit
+    def scan(ds, ms):
+        def body(ds, m):
+            ds = dynamics.step(ds, m, mars.vehicle, mars.world, mars.task.dt,
+                               lift_model='blade_element')
+            return ds, ds.x
+        return jax.lax.scan(body, ds, ms)
+
+    ds = dynamics.init_state(jnp.asarray(x0), dtype=jnp.float64)
+    ds = dynamics.perturb(ds, jnp.asarray(forces), mars.vehicle)
+    _, jxs = scan(ds, jnp.asarray(motors))
+    np.testing.assert_allclose(np.asarray(jxs), oxs, rtol=1e-10, atol=1e-10)
+
+
+def test_mars_gravity_weaker_descent():
+    """Free fall accelerates ~2.6x slower on Mars."""
+    from gym_copter_tpu.core.types import EnvParams
+    mars = EnvParams(vehicle=vehicles.INGENUITY, world=vehicles.MARS,
+                     lift_model='blade_element')
+    x0 = np.zeros(12); x0[C.STATE_Z] = -10.0
+    ds = dynamics.init_state(jnp.asarray(x0), dtype=jnp.float64)
+    for _ in range(10):
+        ds = dynamics.step(ds, jnp.zeros(4), mars.vehicle, mars.world,
+                           0.01, lift_model='blade_element')
+    np.testing.assert_allclose(float(ds.x[C.STATE_Z_DOT]),
+                               10 * 0.01 * C.MARS_G, rtol=1e-12)
