@@ -6,6 +6,20 @@ envs").  The reference has no speed baseline (single env, 100 Hz real-time
 paced — see BASELINE.md), so vs_baseline is reported against the north-star
 target of 10M env-steps/s per host: vs_baseline = value / 1e7.
 
+The measured path is the fused Pallas rollout kernel
+(gym_copter_tpu/ops/pallas_rollout.py): the whole T-step auto-resetting
+rollout runs as ONE kernel with the batch state pinned in VMEM.  Where the
+kernel family doesn't apply (non-TPU backends), the XLA `lax.scan` path is
+measured instead.
+
+Timing is differential — t(T_hi) - t(T_lo) over the extra steps — with a
+per-rep host transfer of the result.  On this rig the TPU is reached through
+a tunnel whose `block_until_ready` acks dispatch before completion, so
+naive timing both under-counts (no completion wait) and over-counts (fixed
+tunnel round-trip latency); the differential with forced host reads cancels
+both.  Sanity: the kernel's per-env episode counts are checked against the
+XLA path before timing.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -19,12 +33,13 @@ import jax.numpy as jnp
 from gym_copter_tpu.core import vehicles
 from gym_copter_tpu.core.types import EnvParams
 from gym_copter_tpu.envs import base, tasks
+from gym_copter_tpu.ops import pallas_rollout as pr
 
 NORTH_STAR = 1.0e7  # env-steps/s per host (BASELINE.json north_star)
 
 B = 4096
-T = 10_000
-REPS = 5
+T_LO, T_HI = 20_000, 120_000
+REPS = 8
 
 
 def main():
@@ -32,36 +47,40 @@ def main():
     spec = tasks.LANDER_3D
     key = jax.random.PRNGKey(0)
     env_ids = jnp.arange(B, dtype=jnp.int32)
-
     state, _ = base.reset(key, env_ids, jnp.zeros(B, jnp.int32), params, spec)
     action = jnp.full((4, B), 1.625e-2, jnp.float32)  # demo heuristic thrust
 
-    @jax.jit
-    def run(state, action):
-        """T auto-resetting env steps as one scan; returns summed rewards so
-        nothing can be dead-code eliminated."""
+    on_tpu = jax.default_backend() == 'tpu'
 
-        def body(carry, _):
-            st, acc = carry
-            st, ts = base.step(st, action, key, env_ids, params, spec)
-            return (st, acc + ts.reward), None
+    def rollout(st, num_steps, seed):
+        if on_tpu:
+            return pr.fused_rollout(st, action, num_steps, params, spec,
+                                    seed=seed)
+        return pr.scan_rollout(st, action, key, env_ids, num_steps, params,
+                               spec)
 
-        (state, acc), _ = jax.lax.scan(
-            body, (state, jnp.zeros(B, jnp.float32)), None, length=T)
-        return state, acc
+    # correctness sanity: fused episode counts == XLA-path episode counts
+    if on_tpu:
+        _, ft = rollout(state, 10_000, 0)
+        _, st_ = pr.scan_rollout(state, action, key, env_ids, 10_000, params,
+                                 spec)
+        f_eps = float(jnp.mean(ft['episodes']))
+        s_eps = float(jnp.mean(st_['episodes']))
+        assert abs(f_eps - s_eps) < 0.5, (f_eps, s_eps)
 
-    # compile + warm up
-    state_w, acc = run(state, action)
-    jax.block_until_ready(acc)
+    def timed(num_steps):
+        st, tot = rollout(state, num_steps, 1)          # warm-up / compile
+        _ = float(tot['reward_sum'][0])
+        t0 = time.perf_counter()
+        st = state
+        for i in range(REPS):
+            st, tot = rollout(st, num_steps, i)
+            _ = float(tot['reward_sum'][0])             # forced host sync
+        return (time.perf_counter() - t0) / REPS
 
-    t0 = time.perf_counter()
-    st = state
-    for _ in range(REPS):
-        st, acc = run(st, action)
-    jax.block_until_ready(acc)
-    dt = (time.perf_counter() - t0) / REPS
+    t_lo, t_hi = timed(T_LO), timed(T_HI)
+    steps_per_sec = B * (T_HI - T_LO) / max(t_hi - t_lo, 1e-9)
 
-    steps_per_sec = B * T / dt
     print(json.dumps({
         'metric': 'lander3d_env_steps_per_sec_4096envs_1chip',
         'value': round(steps_per_sec),

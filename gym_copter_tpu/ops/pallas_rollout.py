@@ -1,0 +1,432 @@
+"""Fused multi-step rollout as a single Pallas TPU kernel.
+
+The batched env step (envs/base.py) is ~150 VPU flops per environment — far
+too little work to amortize a per-step HBM round-trip.  Under `lax.scan` XLA
+compiles the rollout into a while loop whose carry (the whole EnvState) is
+materialized between iterations; at 4096 envs that is ~0.5 MB of HBM traffic
+per simulated step and the rollout is bandwidth/latency-bound, not
+compute-bound.
+
+This kernel runs the WHOLE T-step rollout inside one `pallas_call`: the
+batch state lives in VMEM/vector registers for all T steps and only the
+final state plus per-env aggregates (reward sum, episodes completed) are
+written back to HBM.  Physics semantics are identical to
+`core/dynamics.step` + `envs/base._raw_step` + auto-reset (which themselves
+mirror the reference `Dynamics.setMotors` / `_Task.step`,
+gym_copter/dynamics/__init__.py:114-197 and gym_copter/envs/task.py:77-137),
+including every parity quirk documented in SURVEY.md §2.4 — the op order of
+each arithmetic expression is kept identical to envs/base.py so the state
+trajectory is bit-exact against the XLA path on the same backend.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * Batch layout: B envs are viewed as (R, 128) with R = B // 128 — full
+    (8, 128) VPU tiles, no padding waste.  Each of the 12 state components
+    is carried as its own (R, 128) array, so the fori_loop carry never
+    needs a relayout.
+  * Actions are constant across the rollout (the demo-heuristic / bench
+    regime), so the Eq.6 motor mix (thrust + torques) is precomputed on the
+    host side of the kernel boundary once, not 10,000 times.
+  * Auto-reset randomness (the reset wind kick, task.py:177-188) uses the
+    TPU hardware PRNG (`pltpu.prng_*`), seeded per kernel launch.  Its
+    stream differs from the XLA path's `jax.random.fold_in` stream; with
+    `initial_random_force == 0` (or `perturb_on_reset=False`) the kernel is
+    fully deterministic and bit-comparable to the XLA path.
+
+Supported task space (assertion-checked): 'lander' and 'hover' kinds with
+'standard' termination — the headline Lander/Hover 1D/2D/3D family.  Other
+kinds fall back to `scan_rollout`, the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_copter_tpu.core import constants as C
+from gym_copter_tpu.core.dynamics import DynamicsState
+from gym_copter_tpu.core.types import EnvParams
+from gym_copter_tpu.envs import base
+from gym_copter_tpu.envs.base import EnvState, TaskSpec
+
+LANES = 128
+
+
+def _motor_mix(action, params: EnvParams, spec: TaskSpec, dtype):
+    """Replicates the action->motors4 path of envs/base._raw_step plus the
+    Eq.6 thrust/torque mix of core/dynamics.step, with identical op order.
+    Returns per-env (bz, u2ix, u3iy, u4iz, omega): the thrust acceleration
+    -U1/M and the three torque accelerations U*/I*, all (B,)."""
+    vp = params.vehicle
+    action = jnp.asarray(action, dtype)
+    if spec.action_mode == 'clip01':
+        motors = jnp.clip(action, 0.0, 1.0)
+    elif spec.action_mode == 'rescale01':
+        motors = (1.0 + action) / 2.0
+    else:
+        motors = action
+    mix = jnp.asarray(spec.mix_matrix, dtype)
+    m4 = mix @ motors  # (4, B)
+
+    omegas = m4 * vp.maxrpm * math.pi / 30.0
+    o2 = omegas * omegas
+    if params.lift_model == 'blade_element':
+        velocity = omegas * (vp.L / 2.0)
+        s_area = 0.05 * vp.L * 4.0
+        lift = 0.5 * params.world.rho * s_area * vp.C_L * (velocity * velocity)
+        U1 = lift[0] + lift[1] + lift[2] + lift[3]
+        U2 = (lift[1] + lift[2]) - (lift[0] + lift[3])
+        U3 = (lift[1] + lift[3]) - (lift[0] + lift[2])
+        U4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+        omega = (omegas[0] + omegas[1]) - (omegas[2] + omegas[3])
+    else:
+        U1 = vp.B * (o2[0] + o2[1] + o2[2] + o2[3])
+        U2 = vp.L * vp.B * ((o2[1] + o2[2]) - (o2[0] + o2[3]))
+        U3 = vp.L * vp.B * ((o2[1] + o2[3]) - (o2[0] + o2[2]))
+        U4 = vp.D * ((o2[0] + o2[1]) - (o2[2] + o2[3]))
+        omega = jnp.zeros_like(U1)
+    return -U1 / vp.M, U2 / vp.Ix, U3 / vp.Iy, U4 / vp.Iz, omega
+
+
+def _reset_constants(params: EnvParams, spec: TaskSpec):
+    """Host-side constants describing the in-kernel auto-reset target state,
+    matching envs/base.reset with the default pose (the auto-reset path)."""
+    alt = (spec.start_altitude if spec.start_altitude is not None
+           else params.task.initial_altitude)
+    alt = float(alt)
+    status0 = C.STATUS_AIRBORNE if alt > 0 else C.STATUS_LANDED
+    # prev_shaping of the reset state, computed in float32 exactly as
+    # base._shaping does on the (all-zero-but-z) initial state
+    if spec.kind == 'lander':
+        rp = params.reward
+        z = np.float32(-alt)
+        s0 = -(np.float32(rp.xyz_penalty_factor) * np.sqrt(z * z)
+               + np.float32(rp.yaw_penalty_factor) * np.float32(0.0))
+        s0 = float(s0)
+    else:
+        s0 = 0.0
+    return alt, status0, s0
+
+
+def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
+                  shape: Tuple[int, int], random_reset: bool):
+    """Build the fused rollout kernel body, closing over all static physics,
+    reward, and termination constants as Python floats (so they compile to
+    immediates)."""
+    vp = params.vehicle
+    t = params.task
+    rp = params.reward
+    dt = t.dt
+    g = params.world.g
+    lander = spec.kind == 'lander'
+    # Eq.12 inertia constants, combined host-side with the same Python-float
+    # arithmetic the XLA path's tracing performs (core/dynamics.py:170-196)
+    iy_iz = vp.Iy - vp.Iz
+    iz_ix = vp.Iz - vp.Ix
+    ix_iy = vp.Ix - vp.Iy
+    jr_ix = vp.Jr / vp.Ix
+    jr_iy = vp.Jr / vp.Iy
+    blade = params.lift_model == 'blade_element'
+    f_force = float(t.initial_random_force)
+    alt0, status0, s0 = _reset_constants(params, spec)
+
+    def kernel(x_ref, p_ref, status_ref, ticks_ref, steps_ref, pshape_ref,
+               bz_ref, u2_ref, u3_ref, u4_ref, om_ref, seed_ref,
+               x_out, p_out, status_out, ticks_out, steps_out, pshape_out,
+               acc_out, eps_out):
+        if random_reset:
+            pltpu.prng_seed(seed_ref[0])
+
+        xs = tuple(x_ref[i] for i in range(12))
+        ps = tuple(p_ref[i] for i in range(6))
+        status = status_ref[:]
+        ticks = ticks_ref[:]
+        steps = steps_ref[:]
+        pshape = pshape_ref[:]
+        bz, u2ix, u3iy, u4iz, om = bz_ref[:], u2_ref[:], u3_ref[:], u4_ref[:], om_ref[:]
+
+        acc0 = jnp.zeros(shape, pshape.dtype)
+        eps0 = jnp.zeros(shape, jnp.int32)
+
+        def one_step(carry):
+            xs, ps, status, ticks, steps, pshape, acc, eps = carry
+            x0, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11 = xs
+            p0, p1, p2, p3, p4, p5 = ps
+
+            entry_landed = status == C.STATUS_LANDED
+
+            # --- dynamics step (core/dynamics.step, identical op order) ---
+            cph, sph = jnp.cos(x6), jnp.sin(x6)
+            cth, sth = jnp.cos(x8), jnp.sin(x8)
+            cps, sps = jnp.cos(x10), jnp.sin(x10)
+            rx = sph * sps + cph * cps * sth
+            ry = cph * sps * sth - cps * sph
+            rz = cph * cth
+            ax, ay, az = bz * rx, bz * ry, bz * rz
+            netz = az + g
+
+            status1 = jnp.where((status == C.STATUS_LANDED) & (netz < 0),
+                                C.STATUS_AIRBORNE, status)
+            leveling = status1 == C.STATUS_LEVELING
+            airborne = status1 == C.STATUS_AIRBORNE
+            touchdown = airborne & (x4 > 0) & (x5 > 0)
+            crash = ((x5 > C.LANDING_VEL_Y)
+                     | (jnp.abs(x3) > C.LANDING_VEL_X)
+                     | (jnp.abs(x6) > C.LANDING_ANGLE))
+            integrate = airborne & ~touchdown
+
+            if blade:
+                phi_dd = (x11 * x9 * iy_iz / vp.Ix
+                          - jr_ix * x9 * om + u2ix + p3)
+                the_dd = -(x11 * x7 * iz_ix / vp.Iy
+                           + jr_iy * x7 * om + u3iy) + p4
+            else:
+                phi_dd = x11 * x9 * iy_iz / vp.Ix + u2ix + p3
+                the_dd = -(x11 * x7 * iz_ix / vp.Iy + u3iy) + p4
+            psi_dd = x9 * x7 * ix_iy / vp.Iz + u4iz + p5
+            # perturbation double-count (core/dynamics.py:199-201): every
+            # velocity-derivative slot receives its perturb component again
+            d = (x1, (ax + p0) + p0, x3, (ay + p1) + p1,
+                 x5, (netz + p2) + p2, x7, phi_dd + p3,
+                 x9, the_dd + p4, x11, psi_dd + p5)
+            xi = tuple(xv + dt * dv for xv, dv in zip(xs, d))
+            zero = jnp.zeros_like(x0)
+
+            # --- env layer folded in: landed envs skip the dynamics
+            # (base.py:292-297).  The three nested selects of the XLA path
+            # (integrate/leveling inside dynamics.step, then the
+            # skip-when-landed select) collapse to one select per state row
+            # plus a leveling zero on roll/pitch — the masks are disjoint by
+            # construction, so the selected values are identical bit-for-bit.
+            eff_integ = integrate & ~entry_landed
+            eff_level = leveling & ~entry_landed
+            keep_p = entry_landed | touchdown
+            xs_n = tuple(jnp.where(eff_integ, a, b) for a, b in zip(xi, xs))
+            xs_n = (xs_n[:6]
+                    + (jnp.where(eff_level, zero, xs_n[6]), xs_n[7],
+                       jnp.where(eff_level, zero, xs_n[8]), xs_n[9],
+                       xs_n[10], xs_n[11]))
+            ps_n = tuple(jnp.where(keep_p, pv, zero) for pv in ps)
+            status_n = jnp.where(
+                entry_landed, status,
+                jnp.where(
+                    leveling, C.STATUS_LANDED,
+                    jnp.where(touchdown,
+                              jnp.where(crash, C.STATUS_CRASHED,
+                                        C.STATUS_LEVELING),
+                              status1))).astype(jnp.int32)
+            ticks_n = ticks + (~keep_p).astype(jnp.int32)
+            y0, y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11 = xs_n
+
+            # --- reward (base._reward) ---
+            if lander:
+                pos_sq = (y0 * y0 + y1 * y1 + y2 * y2
+                          + y3 * y3 + y4 * y4 + y5 * y5)
+                yaw_sq = y10 * y10 + y11 * y11
+                shaping = -(rp.xyz_penalty_factor * jnp.sqrt(pos_sq)
+                            + rp.yaw_penalty_factor * jnp.sqrt(yaw_sq))
+                shaping = shaping - jnp.where(jnp.abs(y5) > rp.dz_max,
+                                              rp.dz_penalty, 0.0)
+                reward = shaping - pshape
+                inside = jnp.sqrt(y0 * y0 + y2 * y2) < rp.target_radius
+                reward = reward + jnp.where(entry_landed & inside,
+                                            rp.inside_radius_bonus, 0.0)
+                done = entry_landed
+            else:  # hover: +1 per surviving step
+                shaping = jnp.zeros_like(pshape)
+                reward = jnp.ones_like(pshape)
+                done = jnp.zeros(shape, bool)
+
+            # --- standard termination (base.py:304-321) ---
+            oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
+            tilt = ((jnp.abs(y6) >= t.max_angle)
+                    | (jnp.abs(y8) >= t.max_angle))
+            crashed = status == C.STATUS_CRASHED
+            reward = jnp.where(oob, reward - t.out_of_bounds_penalty,
+                               jnp.where(tilt, -t.out_of_bounds_penalty,
+                                         reward))
+            done = done | oob | tilt | crashed | (steps == t.max_steps)
+            acc = acc + reward
+
+            # --- auto-reset (base.step + base.reset, default pose) ---
+            if random_reset:
+                def u01():
+                    bits = pltpu.bitcast(
+                        pltpu.prng_random_bits(shape), jnp.uint32)
+                    # Mosaic has no uint32->float cast; the top-24-bit value
+                    # is positive, so round-trip through int32
+                    i24 = pltpu.bitcast(bits >> 8, jnp.int32)
+                    return i24.astype(pshape.dtype) * (2.0 ** -24)
+                kick = tuple(
+                    ((2.0 * u01() - 1.0) * f_force) / vp.M for _ in range(3))
+            else:
+                kick = (zero, zero, zero)
+            xs_r = tuple(
+                jnp.where(done, rv, nv) for rv, nv in zip(
+                    (zero, zero, zero, zero, zero + (-alt0), zero,
+                     zero, zero, zero, zero, zero, zero), xs_n))
+            ps_r = tuple(
+                jnp.where(done, rv, nv) for rv, nv in zip(
+                    kick + (zero, zero, zero), ps_n))
+            status_r = jnp.where(done, status0, status_n).astype(jnp.int32)
+            ticks_r = jnp.where(done, 0, ticks_n).astype(jnp.int32)
+            steps_r = jnp.where(done, 1, steps + 1).astype(jnp.int32)
+            pshape_r = jnp.where(done, s0, shaping)
+            eps = eps + done.astype(jnp.int32)
+            return xs_r, ps_r, status_r, ticks_r, steps_r, pshape_r, acc, eps
+
+        # Mosaic supports only unroll=1 fori_loops; unroll manually to
+        # amortize loop overhead (4 physics steps per loop iteration).
+        unroll = 4
+
+        def body(_, carry):
+            for _ in range(unroll):
+                carry = one_step(carry)
+            return carry
+
+        carry = (xs, ps, status, ticks, steps, pshape, acc0, eps0)
+        carry = jax.lax.fori_loop(0, num_steps // unroll, body, carry)
+        for _ in range(num_steps % unroll):
+            carry = one_step(carry)
+        xs, ps, status, ticks, steps, pshape, acc, eps = carry
+
+        for i in range(12):
+            x_out[i] = xs[i]
+        for i in range(6):
+            p_out[i] = ps[i]
+        status_out[:] = status
+        ticks_out[:] = ticks
+        steps_out[:] = steps
+        pshape_out[:] = pshape
+        acc_out[:] = acc
+        eps_out[:] = eps
+
+    return kernel
+
+
+def supports(params: EnvParams, spec: TaskSpec) -> bool:
+    """Whether the fused kernel covers this task configuration."""
+    return (spec.kind in ('lander', 'hover')
+            and spec.termination == 'standard'
+            and spec.skip_when_landed
+            and spec.action_mode in ('clip01', 'rescale01', 'raw'))
+
+
+@functools.partial(jax.jit, static_argnames=('num_steps', 'params', 'spec',
+                                             'interpret'))
+def _fused(state_arrays, action, seed, *, num_steps, params, spec, interpret):
+    (x, perturb, status, ticks, steps, pshape) = state_arrays
+    dtype = x.dtype
+    b = x.shape[-1]
+    r = b // LANES
+    shape = (r, LANES)
+
+    bz, u2, u3, u4, om = _motor_mix(action, params, spec, dtype)
+    random_reset = (spec.perturb_on_reset
+                    and float(params.task.initial_random_force) != 0.0)
+    kernel = _build_kernel(params, spec, num_steps, shape, random_reset)
+
+    def rs(a):  # (…, B) -> (…, R, 128)
+        return a.reshape(a.shape[:-1] + shape)
+
+    vec = functools.partial(jax.ShapeDtypeStruct, shape)
+    out_shape = (
+        jax.ShapeDtypeStruct((12,) + shape, dtype),
+        jax.ShapeDtypeStruct((6,) + shape, dtype),
+        vec(jnp.int32), vec(jnp.int32), vec(jnp.int32),
+        vec(dtype), vec(dtype), vec(jnp.int32),
+    )
+    n_in = 11
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[vmem] * n_in + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(vmem,) * len(out_shape),
+        cost_estimate=pl.CostEstimate(
+            flops=num_steps * b * 150,
+            bytes_accessed=(12 + 6 + 5) * b * 4 * 2,
+            transcendentals=num_steps * b * 8,
+        ),
+        interpret=interpret,
+    )(rs(x), rs(perturb), rs(status), rs(ticks), rs(steps), rs(pshape),
+      rs(bz), rs(u2), rs(u3), rs(u4), rs(om),
+      jnp.asarray([seed], jnp.int32))
+
+    def fl(a):  # (…, R, 128) -> (…, B)
+        return a.reshape(a.shape[:-2] + (b,))
+
+    return tuple(fl(o) for o in outs)
+
+
+def fused_rollout(
+    state: EnvState,
+    action,
+    num_steps: int,
+    params: EnvParams,
+    spec: TaskSpec,
+    *,
+    seed: int = 0,
+    interpret: Optional[bool] = None,
+):
+    """Run `num_steps` auto-resetting env steps with a constant action as ONE
+    Pallas kernel launch.
+
+    Returns (EnvState, totals) where totals = {'reward_sum': (B,) summed
+    per-env rewards, 'episodes': (B,) int32 episodes completed}.  The
+    returned EnvState matches what `num_steps` iterated `base.step` calls
+    would produce (bit-exact when `initial_random_force == 0`; statistically
+    equivalent otherwise — the in-kernel TPU PRNG replaces the host
+    `fold_in` stream for reset wind kicks).  `initial_random_x` is not
+    re-derived for auto-reset episodes (it only feeds the 2D renderer's wind
+    pennant, twod.py:189-207).
+    """
+    if not supports(params, spec):
+        raise ValueError(
+            f'task {spec.name!r} (kind={spec.kind}, term={spec.termination}) '
+            f'is outside the fused-kernel family; use scan_rollout')
+    b = state.dyn.x.shape[-1]
+    if b % LANES != 0:
+        raise ValueError(f'batch {b} must be a multiple of {LANES}')
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    arrays = (state.dyn.x, state.dyn.perturb, state.dyn.status,
+              state.dyn.ticks, state.steps, state.prev_shaping)
+    (x, perturb, status, ticks, steps, pshape, acc, eps) = _fused(
+        arrays, action, seed, num_steps=num_steps, params=params, spec=spec,
+        interpret=interpret)
+
+    new_state = EnvState(
+        dyn=DynamicsState(x=x, status=status, perturb=perturb, ticks=ticks),
+        prev_shaping=pshape,
+        steps=steps,
+        episode=state.episode + eps,
+        initial_random_x=state.initial_random_x,
+    )
+    return new_state, {'reward_sum': acc, 'episodes': eps}
+
+
+@functools.partial(jax.jit, static_argnames=('num_steps', 'params', 'spec'))
+def scan_rollout(state: EnvState, action, base_key, env_ids, num_steps: int,
+                 params: EnvParams, spec: TaskSpec):
+    """XLA reference path: the same rollout as `lax.scan` over `base.step`.
+    Works for every task kind and batch size; used as the fused kernel's
+    correctness oracle and as the fallback for unsupported specs."""
+
+    def body(carry, _):
+        st, acc, eps = carry
+        st, ts = base.step(st, action, base_key, env_ids, params, spec)
+        return (st, acc + ts.reward, eps + ts.done.astype(jnp.int32)), None
+
+    zero = jnp.zeros(state.prev_shaping.shape, state.prev_shaping.dtype)
+    zeroi = jnp.zeros(state.prev_shaping.shape, jnp.int32)
+    (st, acc, eps), _ = jax.lax.scan(body, (state, zero, zeroi), None,
+                                     length=num_steps)
+    return st, {'reward_sum': acc, 'episodes': eps}

@@ -1,0 +1,170 @@
+"""Fused Pallas rollout kernel vs the XLA scan path.
+
+With `initial_random_force == 0` both paths are fully deterministic, so the
+kernel (run in interpret mode on the CPU test backend) must reproduce the
+scan path's state trajectory BIT-EXACTLY — same dynamics op order, same
+status machine, same auto-reset.  Rewards/shaping are compared to tight
+tolerance (the kernel sums squares sequentially where the XLA path uses a
+reduce, so the last ulp may differ; reward never feeds back into state).
+
+Scenario coverage of the branchless status machine (SURVEY.md §2.4):
+  * hover from tilted pose   -> tilt termination + auto-reset
+  * lander, max_steps cap    -> truncation + auto-reset
+  * lander, soft descent     -> touchdown -> LEVELING -> LANDED -> bonus
+  * lander, free fall        -> touchdown + crash -> CRASHED
+  * 1D variant               -> broadcast motor mix
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_copter_tpu.core import constants as C
+from gym_copter_tpu.core import vehicles
+from gym_copter_tpu.core.types import EnvParams, TaskParams
+from gym_copter_tpu.envs import base, tasks
+from gym_copter_tpu.ops import pallas_rollout as pr
+
+B = 128  # one VPU lane tile
+
+
+def _params(max_steps=60, **kw):
+    # force = 0 -> deterministic resets, bit-comparable paths
+    return EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                     task=TaskParams(initial_random_force=0.0,
+                                     max_steps=max_steps, **kw))
+
+
+def _run_both(spec, params, action, num_steps, pose=None):
+    key = jax.random.PRNGKey(0)
+    env_ids = jnp.arange(B, dtype=jnp.int32)
+    ep0 = jnp.zeros(B, jnp.int32)
+    state, _ = base.reset(key, env_ids, ep0, params, spec, pose=pose,
+                          dtype=jnp.float32)
+    action = jnp.broadcast_to(
+        jnp.asarray(action, jnp.float32)[:, None], (spec.action_size, B))
+
+    fused_state, fused_tot = pr.fused_rollout(
+        state, action, num_steps, params, spec, interpret=True)
+    scan_state, scan_tot = pr.scan_rollout(
+        state, action, key, env_ids, num_steps, params, spec)
+    return (fused_state, fused_tot), (scan_state, scan_tot)
+
+
+def _assert_match(fused, scan, scenario):
+    (fs, ft), (ss, st) = fused, scan
+    np.testing.assert_array_equal(np.asarray(fs.dyn.x),
+                                  np.asarray(ss.dyn.x),
+                                  err_msg=f'{scenario}: state x')
+    np.testing.assert_array_equal(np.asarray(fs.dyn.status),
+                                  np.asarray(ss.dyn.status),
+                                  err_msg=f'{scenario}: status')
+    np.testing.assert_array_equal(np.asarray(fs.dyn.perturb),
+                                  np.asarray(ss.dyn.perturb),
+                                  err_msg=f'{scenario}: perturb')
+    np.testing.assert_array_equal(np.asarray(fs.dyn.ticks),
+                                  np.asarray(ss.dyn.ticks),
+                                  err_msg=f'{scenario}: ticks')
+    np.testing.assert_array_equal(np.asarray(fs.steps), np.asarray(ss.steps),
+                                  err_msg=f'{scenario}: steps')
+    np.testing.assert_array_equal(np.asarray(fs.episode),
+                                  np.asarray(ss.episode),
+                                  err_msg=f'{scenario}: episode')
+    np.testing.assert_array_equal(np.asarray(ft['episodes']),
+                                  np.asarray(st['episodes']),
+                                  err_msg=f'{scenario}: episodes')
+    np.testing.assert_allclose(np.asarray(fs.prev_shaping),
+                               np.asarray(ss.prev_shaping),
+                               rtol=1e-6, atol=1e-5,
+                               err_msg=f'{scenario}: prev_shaping')
+    np.testing.assert_allclose(np.asarray(ft['reward_sum']),
+                               np.asarray(st['reward_sum']),
+                               rtol=1e-5, atol=1e-3,
+                               err_msg=f'{scenario}: reward_sum')
+
+
+def test_lander3d_truncation_parity():
+    """Demo-heuristic thrust from 10 m; max_steps=60 forces >=2 auto-resets
+    in 150 steps."""
+    fused, scan = _run_both(tasks.LANDER_3D, _params(max_steps=60),
+                            [1.625e-2] * 4, 150)
+    _assert_match(fused, scan, 'lander3d truncation')
+    assert int(np.asarray(fused[1]['episodes'])[0]) >= 2
+
+
+def test_hover3d_tilt_termination_parity():
+    """40-degree initial roll at hover thrust drifts out of bounds (~156
+    steps at g*tan(40) lateral acceleration) well before the step cap."""
+    fused, scan = _run_both(tasks.HOVER_3D, _params(max_steps=400),
+                            [1.66e-2] * 4, 250, pose=(0.0, 0.0, 10.0, 40.0, 0.0))
+    _assert_match(fused, scan, 'hover3d tilt')
+    assert int(np.asarray(fused[1]['episodes'])[0]) >= 1
+
+
+def test_lander3d_soft_landing_parity():
+    """Slightly-below-hover thrust from 0.5 m: touchdown with |dz| < 1 walks
+    the LEVELING -> LANDED path and collects the inside-radius bonus."""
+    spec = tasks.LANDER_3D._replace(start_altitude=0.5)
+    fused, scan = _run_both(spec, _params(max_steps=400), [1.625e-2] * 4, 300)
+    _assert_match(fused, scan, 'lander3d soft landing')
+    # the landing bonus must have been paid at least once
+    assert float(np.asarray(fused[1]['reward_sum'])[0]) > 50.0
+    assert int(np.asarray(fused[1]['episodes'])[0]) >= 1
+
+
+def test_lander3d_crash_parity():
+    """Zero thrust from 0.5 m free-falls past the 1 m/s touchdown limit:
+    CRASHED status, crash termination, auto-reset loop."""
+    spec = tasks.LANDER_3D._replace(start_altitude=0.5)
+    fused, scan = _run_both(spec, _params(max_steps=400), [0.0] * 4, 100)
+    _assert_match(fused, scan, 'lander3d crash')
+    assert int(np.asarray(fused[1]['episodes'])[0]) >= 2
+
+
+def test_lander1d_mix_parity():
+    """1-motor action broadcast through the 1D mix matrix."""
+    fused, scan = _run_both(tasks.LANDER_1D, _params(max_steps=50),
+                            [1.625e-2], 120)
+    _assert_match(fused, scan, 'lander1d')
+
+
+def test_unsupported_spec_raises():
+    with pytest.raises(ValueError, match='fused-kernel family'):
+        state, _ = base.reset(jax.random.PRNGKey(0),
+                              jnp.arange(B, dtype=jnp.int32),
+                              jnp.zeros(B, jnp.int32),
+                              _params(), tasks.ALTHOLD)
+        pr.fused_rollout(state, jnp.zeros((1, B)), 10, _params(),
+                         tasks.ALTHOLD)
+
+
+def test_batch_must_tile():
+    params = _params()
+    state, _ = base.reset(jax.random.PRNGKey(0),
+                          jnp.arange(96, dtype=jnp.int32),
+                          jnp.zeros(96, jnp.int32), params, tasks.LANDER_3D)
+    with pytest.raises(ValueError, match='multiple of'):
+        pr.fused_rollout(state, jnp.zeros((4, 96)), 10, params,
+                         tasks.LANDER_3D)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='hardware PRNG path needs a real TPU')
+def test_random_reset_mode_tpu():
+    params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                       task=TaskParams(max_steps=60))
+    key = jax.random.PRNGKey(0)
+    env_ids = jnp.arange(B, dtype=jnp.int32)
+    state, _ = base.reset(key, env_ids, jnp.zeros(B, jnp.int32), params,
+                          tasks.LANDER_3D, dtype=jnp.float32)
+    action = jnp.full((4, B), 1.625e-2, jnp.float32)
+    out, tot = pr.fused_rollout(state, action, 200, params, tasks.LANDER_3D,
+                                seed=7)
+    assert bool(jnp.all(jnp.isfinite(out.dyn.x)))
+    assert bool(jnp.all(tot['episodes'] >= 1))
+    # seeded determinism of the in-kernel PRNG
+    out2, tot2 = pr.fused_rollout(state, action, 200, params,
+                                  tasks.LANDER_3D, seed=7)
+    np.testing.assert_array_equal(np.asarray(tot['reward_sum']),
+                                  np.asarray(tot2['reward_sum']))
