@@ -64,3 +64,70 @@ def shard_env_state(tree, mesh: Mesh, axis: str = ENV_AXIS):
 def replicate(tree, mesh: Mesh):
     """Place a pytree (e.g. learner params) replicated on every device."""
     return jax.device_put(tree, jax.tree.map(lambda _: replicated(mesh), tree))
+
+
+def sharded_fused_rollout(state, action, num_steps: int, params, spec,
+                          mesh: Mesh, *, seed: int = 0, axis: str = ENV_AXIS,
+                          interpret=None):
+    """Multi-chip version of `ops.pallas_rollout.fused_rollout`: the env
+    batch is sharded over the mesh and every device runs the whole-rollout
+    Pallas kernel on its local shard — environments never communicate, so
+    the rollout scales with zero collectives (SURVEY.md §2.3).
+
+    Each device's reset-PRNG stream is decorrelated by folding its mesh
+    position into the seed.  With `initial_random_force == 0` the result is
+    bit-identical to the unsharded kernel on any mesh shape.
+
+    Returns the same (EnvState, totals) as fused_rollout.
+    """
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from gym_copter_tpu.ops import pallas_rollout as pr
+
+    b = state.dyn.x.shape[-1]
+    n_dev = mesh.devices.size
+    if b % (n_dev * pr.LANES) != 0:
+        raise ValueError(
+            f'batch {b} must be a multiple of mesh size {n_dev} x {pr.LANES}')
+
+    def spec_of(a):
+        return P(*([None] * (np.ndim(a) - 1) + [axis]))
+
+    flat_in = (state.dyn.x, state.dyn.perturb, state.dyn.status,
+               state.dyn.ticks, state.steps, state.prev_shaping,
+               state.episode, state.initial_random_x, action)
+    in_specs = tuple(spec_of(a) for a in flat_in)
+
+    def local(x, perturb, status, ticks, steps, pshape, episode, init_rx,
+              act):
+        from gym_copter_tpu.core.dynamics import DynamicsState
+        from gym_copter_tpu.envs.base import EnvState as ES
+        st = ES(dyn=DynamicsState(x=x, status=status, perturb=perturb,
+                                  ticks=ticks),
+                prev_shaping=pshape, steps=steps, episode=episode,
+                initial_random_x=init_rx)
+        dev_seed = seed + jax.lax.axis_index(axis)
+        out, tot = pr.fused_rollout(st, act, num_steps, params, spec,
+                                    seed=dev_seed, interpret=interpret)
+        return (out.dyn.x, out.dyn.perturb, out.dyn.status, out.dyn.ticks,
+                out.steps, out.prev_shaping, out.episode,
+                out.initial_random_x, tot['reward_sum'], tot['episodes'])
+
+    out_specs = (P(None, axis), P(None, axis), P(axis), P(axis), P(axis),
+                 P(axis), P(axis), P(axis), P(axis), P(axis))
+    # check_vma off: pallas_call outputs don't carry vma metadata
+    outs = shard_map(local, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)(*flat_in)
+    (x, perturb, status, ticks, steps, pshape, episode, init_rx,
+     acc, eps) = outs
+
+    from gym_copter_tpu.core.dynamics import DynamicsState
+    from gym_copter_tpu.envs.base import EnvState as ES
+    new_state = ES(dyn=DynamicsState(x=x, status=status, perturb=perturb,
+                                     ticks=ticks),
+                   prev_shaping=pshape, steps=steps, episode=episode,
+                   initial_random_x=init_rx)
+    return new_state, {'reward_sum': acc, 'episodes': eps}

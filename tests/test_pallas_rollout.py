@@ -149,6 +149,49 @@ def test_batch_must_tile():
                          tasks.LANDER_3D)
 
 
+def test_sharded_fused_rollout_matches_unsharded():
+    """fused kernel under shard_map on the 8-device CPU mesh: sharding the
+    env batch must not change a single bit (deterministic mode)."""
+    from gym_copter_tpu.parallel import sharding as sh
+
+    n_dev = len(jax.devices())
+    big = n_dev * 128
+    params = _params(max_steps=60)
+    spec = tasks.LANDER_3D
+    key = jax.random.PRNGKey(0)
+    env_ids = jnp.arange(big, dtype=jnp.int32)
+    state, _ = base.reset(key, env_ids, jnp.zeros(big, jnp.int32), params,
+                          spec, dtype=jnp.float32)
+    action = jnp.full((4, big), 1.625e-2, jnp.float32)
+
+    mesh = sh.make_mesh()
+    sharded_state = sh.shard_env_state(state, mesh)
+    s_out, s_tot = sh.sharded_fused_rollout(
+        sharded_state, sh.shard_env_state(action, mesh), 150, params, spec,
+        mesh, interpret=True)
+    u_out, u_tot = pr.fused_rollout(state, action, 150, params, spec,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_out.dyn.x),
+                                  np.asarray(u_out.dyn.x))
+    np.testing.assert_array_equal(np.asarray(s_tot['episodes']),
+                                  np.asarray(u_tot['episodes']))
+    np.testing.assert_array_equal(np.asarray(s_tot['reward_sum']),
+                                  np.asarray(u_tot['reward_sum']))
+
+
+def test_sharded_fused_rollout_batch_check():
+    from gym_copter_tpu.parallel import sharding as sh
+    params = _params()
+    state, _ = base.reset(jax.random.PRNGKey(0),
+                          jnp.arange(B, dtype=jnp.int32),
+                          jnp.zeros(B, jnp.int32), params, tasks.LANDER_3D)
+    mesh = sh.make_mesh()
+    if len(jax.devices()) > 1:
+        with pytest.raises(ValueError, match='mesh size'):
+            sh.sharded_fused_rollout(state, jnp.zeros((4, B)), 10, params,
+                                     tasks.LANDER_3D, mesh)
+
+
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='hardware PRNG path needs a real TPU')
 def test_random_reset_mode_tpu():
