@@ -59,11 +59,9 @@ LANES = 128
 
 
 def _motor_mix(action, params: EnvParams, spec: TaskSpec, dtype):
-    """Replicates the action->motors4 path of envs/base._raw_step plus the
-    Eq.6 thrust/torque mix of core/dynamics.step, with identical op order.
-    Returns per-env (bz, u2ix, u3iy, u4iz, omega): the thrust acceleration
-    -U1/M and the three torque accelerations U*/I*, all (B,)."""
-    vp = params.vehicle
+    """Replicates the action->motors4 path of envs/base._raw_step (clip /
+    rescale, then the task mix matrix), then the Eq.6 thrust/torque terms.
+    Returns per-env (bz, u2ix, u3iy, u4iz, omega), all (B,)."""
     action = jnp.asarray(action, dtype)
     if spec.action_mode == 'clip01':
         motors = jnp.clip(action, 0.0, 1.0)
@@ -73,7 +71,16 @@ def _motor_mix(action, params: EnvParams, spec: TaskSpec, dtype):
         motors = action
     mix = jnp.asarray(spec.mix_matrix, dtype)
     m4 = mix @ motors  # (4, B)
+    return motor_mix_terms(m4, params, dtype)
 
+
+def motor_mix_terms(m4, params: EnvParams, dtype):
+    """Eq.6 motor speeds -> thrust/torque accelerations, with the exact op
+    order of core/dynamics.step:120-135.  m4 is (4, B) mixed motor values;
+    returns (bz, u2ix, u3iy, u4iz, omega) = (-U1/M, U2/Ix, U3/Iy, U4/Iz,
+    rotor disturbance), each (B,).  Pure jnp — also used INSIDE the fused
+    policy kernel (ops/pallas_policy.py), where it runs per step."""
+    vp = params.vehicle
     omegas = m4 * vp.maxrpm * math.pi / 30.0
     o2 = omegas * omegas
     if params.lift_model == 'blade_element':
@@ -114,11 +121,20 @@ def _reset_constants(params: EnvParams, spec: TaskSpec):
     return alt, status0, s0
 
 
-def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
+def make_env_step(params: EnvParams, spec: TaskSpec,
                   shape: Tuple[int, int], random_reset: bool):
-    """Build the fused rollout kernel body, closing over all static physics,
-    reward, and termination constants as Python floats (so they compile to
-    immediates)."""
+    """Build the in-kernel environment transition, shared by the
+    constant-action rollout kernel below and the fused policy-eval kernel
+    (ops/pallas_policy.py).  All physics / reward / termination constants
+    are closed over as Python floats so they compile to immediates.
+
+    Returns env_step(carry, u) -> (carry', reward, done) where
+      carry = (xs 12-tuple, ps 6-tuple, status, ticks, steps, pshape),
+      u     = (bz, u2ix, u3iy, u4iz, om) per-env thrust/torque accelerations
+              from `motor_mix_terms` (each (R, 128)),
+    and reward/done describe the finished step (pre-auto-reset), while
+    carry' already contains freshly reset episodes on done lanes.
+    """
     vp = params.vehicle
     t = params.task
     rp = params.reward
@@ -136,6 +152,142 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
     f_force = float(t.initial_random_force)
     alt0, status0, s0 = _reset_constants(params, spec)
 
+    def env_step(carry, u):
+        xs, ps, status, ticks, steps, pshape = carry
+        bz, u2ix, u3iy, u4iz, om = u
+        x0, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11 = xs
+        p0, p1, p2, p3, p4, p5 = ps
+
+        entry_landed = status == C.STATUS_LANDED
+
+        # --- dynamics step (core/dynamics.step, identical op order) ---
+        cph, sph = jnp.cos(x6), jnp.sin(x6)
+        cth, sth = jnp.cos(x8), jnp.sin(x8)
+        cps, sps = jnp.cos(x10), jnp.sin(x10)
+        rx = sph * sps + cph * cps * sth
+        ry = cph * sps * sth - cps * sph
+        rz = cph * cth
+        ax, ay, az = bz * rx, bz * ry, bz * rz
+        netz = az + g
+
+        status1 = jnp.where((status == C.STATUS_LANDED) & (netz < 0),
+                            C.STATUS_AIRBORNE, status)
+        leveling = status1 == C.STATUS_LEVELING
+        airborne = status1 == C.STATUS_AIRBORNE
+        touchdown = airborne & (x4 > 0) & (x5 > 0)
+        crash = ((x5 > C.LANDING_VEL_Y)
+                 | (jnp.abs(x3) > C.LANDING_VEL_X)
+                 | (jnp.abs(x6) > C.LANDING_ANGLE))
+        integrate = airborne & ~touchdown
+
+        if blade:
+            phi_dd = (x11 * x9 * iy_iz / vp.Ix
+                      - jr_ix * x9 * om + u2ix + p3)
+            the_dd = -(x11 * x7 * iz_ix / vp.Iy
+                       + jr_iy * x7 * om + u3iy) + p4
+        else:
+            phi_dd = x11 * x9 * iy_iz / vp.Ix + u2ix + p3
+            the_dd = -(x11 * x7 * iz_ix / vp.Iy + u3iy) + p4
+        psi_dd = x9 * x7 * ix_iy / vp.Iz + u4iz + p5
+        # perturbation double-count (core/dynamics.py:199-201): every
+        # velocity-derivative slot receives its perturb component again
+        d = (x1, (ax + p0) + p0, x3, (ay + p1) + p1,
+             x5, (netz + p2) + p2, x7, phi_dd + p3,
+             x9, the_dd + p4, x11, psi_dd + p5)
+        xi = tuple(xv + dt * dv for xv, dv in zip(xs, d))
+        zero = jnp.zeros_like(x0)
+
+        # --- env layer folded in: landed envs skip the dynamics
+        # (base.py:292-297).  The three nested selects of the XLA path
+        # (integrate/leveling inside dynamics.step, then the
+        # skip-when-landed select) collapse to one select per state row
+        # plus a leveling zero on roll/pitch — the masks are disjoint by
+        # construction, so the selected values are identical bit-for-bit.
+        eff_integ = integrate & ~entry_landed
+        eff_level = leveling & ~entry_landed
+        keep_p = entry_landed | touchdown
+        xs_n = tuple(jnp.where(eff_integ, a, b) for a, b in zip(xi, xs))
+        xs_n = (xs_n[:6]
+                + (jnp.where(eff_level, zero, xs_n[6]), xs_n[7],
+                   jnp.where(eff_level, zero, xs_n[8]), xs_n[9],
+                   xs_n[10], xs_n[11]))
+        ps_n = tuple(jnp.where(keep_p, pv, zero) for pv in ps)
+        status_n = jnp.where(
+            entry_landed, status,
+            jnp.where(
+                leveling, C.STATUS_LANDED,
+                jnp.where(touchdown,
+                          jnp.where(crash, C.STATUS_CRASHED,
+                                    C.STATUS_LEVELING),
+                          status1))).astype(jnp.int32)
+        ticks_n = ticks + (~keep_p).astype(jnp.int32)
+        y0, y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11 = xs_n
+
+        # --- reward (base._reward) ---
+        if lander:
+            pos_sq = (y0 * y0 + y1 * y1 + y2 * y2
+                      + y3 * y3 + y4 * y4 + y5 * y5)
+            yaw_sq = y10 * y10 + y11 * y11
+            shaping = -(rp.xyz_penalty_factor * jnp.sqrt(pos_sq)
+                        + rp.yaw_penalty_factor * jnp.sqrt(yaw_sq))
+            shaping = shaping - jnp.where(jnp.abs(y5) > rp.dz_max,
+                                          rp.dz_penalty, 0.0)
+            reward = shaping - pshape
+            inside = jnp.sqrt(y0 * y0 + y2 * y2) < rp.target_radius
+            reward = reward + jnp.where(entry_landed & inside,
+                                        rp.inside_radius_bonus, 0.0)
+            done = entry_landed
+        else:  # hover: +1 per surviving step
+            shaping = jnp.zeros_like(pshape)
+            reward = jnp.ones_like(pshape)
+            done = jnp.zeros(shape, bool)
+
+        # --- standard termination (base.py:304-321) ---
+        oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
+        tilt = ((jnp.abs(y6) >= t.max_angle)
+                | (jnp.abs(y8) >= t.max_angle))
+        crashed = status == C.STATUS_CRASHED
+        reward = jnp.where(oob, reward - t.out_of_bounds_penalty,
+                           jnp.where(tilt, -t.out_of_bounds_penalty,
+                                     reward))
+        done = done | oob | tilt | crashed | (steps == t.max_steps)
+
+        # --- auto-reset (base.step + base.reset, default pose) ---
+        if random_reset:
+            def u01():
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits(shape), jnp.uint32)
+                # Mosaic has no uint32->float cast; the top-24-bit value
+                # is positive, so round-trip through int32
+                i24 = pltpu.bitcast(bits >> 8, jnp.int32)
+                return i24.astype(pshape.dtype) * (2.0 ** -24)
+            kick = tuple(
+                ((2.0 * u01() - 1.0) * f_force) / vp.M for _ in range(3))
+        else:
+            kick = (zero, zero, zero)
+        xs_r = tuple(
+            jnp.where(done, rv, nv) for rv, nv in zip(
+                (zero, zero, zero, zero, zero + (-alt0), zero,
+                 zero, zero, zero, zero, zero, zero), xs_n))
+        ps_r = tuple(
+            jnp.where(done, rv, nv) for rv, nv in zip(
+                kick + (zero, zero, zero), ps_n))
+        status_r = jnp.where(done, status0, status_n).astype(jnp.int32)
+        ticks_r = jnp.where(done, 0, ticks_n).astype(jnp.int32)
+        steps_r = jnp.where(done, 1, steps + 1).astype(jnp.int32)
+        pshape_r = jnp.where(done, s0, shaping)
+        return ((xs_r, ps_r, status_r, ticks_r, steps_r, pshape_r), reward, done)
+
+    return env_step
+
+
+def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
+                  shape: Tuple[int, int], random_reset: bool):
+    """The constant-action whole-rollout kernel: loads state + precomputed
+    thrust/torque terms into registers, runs num_steps env transitions, and
+    writes back the final state plus per-env reward sums / episode counts."""
+    env_step = make_env_step(params, spec, shape, random_reset)
+
     def kernel(x_ref, p_ref, status_ref, ticks_ref, steps_ref, pshape_ref,
                bz_ref, u2_ref, u3_ref, u4_ref, om_ref, seed_ref,
                x_out, p_out, status_out, ticks_out, steps_out, pshape_out,
@@ -145,141 +297,16 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
 
         xs = tuple(x_ref[i] for i in range(12))
         ps = tuple(p_ref[i] for i in range(6))
-        status = status_ref[:]
-        ticks = ticks_ref[:]
-        steps = steps_ref[:]
-        pshape = pshape_ref[:]
-        bz, u2ix, u3iy, u4iz, om = bz_ref[:], u2_ref[:], u3_ref[:], u4_ref[:], om_ref[:]
-
-        acc0 = jnp.zeros(shape, pshape.dtype)
+        u = (bz_ref[:], u2_ref[:], u3_ref[:], u4_ref[:], om_ref[:])
+        env0 = (xs, ps, status_ref[:], ticks_ref[:], steps_ref[:],
+                pshape_ref[:])
+        acc0 = jnp.zeros(shape, pshape_ref.dtype)
         eps0 = jnp.zeros(shape, jnp.int32)
 
         def one_step(carry):
-            xs, ps, status, ticks, steps, pshape, acc, eps = carry
-            x0, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11 = xs
-            p0, p1, p2, p3, p4, p5 = ps
-
-            entry_landed = status == C.STATUS_LANDED
-
-            # --- dynamics step (core/dynamics.step, identical op order) ---
-            cph, sph = jnp.cos(x6), jnp.sin(x6)
-            cth, sth = jnp.cos(x8), jnp.sin(x8)
-            cps, sps = jnp.cos(x10), jnp.sin(x10)
-            rx = sph * sps + cph * cps * sth
-            ry = cph * sps * sth - cps * sph
-            rz = cph * cth
-            ax, ay, az = bz * rx, bz * ry, bz * rz
-            netz = az + g
-
-            status1 = jnp.where((status == C.STATUS_LANDED) & (netz < 0),
-                                C.STATUS_AIRBORNE, status)
-            leveling = status1 == C.STATUS_LEVELING
-            airborne = status1 == C.STATUS_AIRBORNE
-            touchdown = airborne & (x4 > 0) & (x5 > 0)
-            crash = ((x5 > C.LANDING_VEL_Y)
-                     | (jnp.abs(x3) > C.LANDING_VEL_X)
-                     | (jnp.abs(x6) > C.LANDING_ANGLE))
-            integrate = airborne & ~touchdown
-
-            if blade:
-                phi_dd = (x11 * x9 * iy_iz / vp.Ix
-                          - jr_ix * x9 * om + u2ix + p3)
-                the_dd = -(x11 * x7 * iz_ix / vp.Iy
-                           + jr_iy * x7 * om + u3iy) + p4
-            else:
-                phi_dd = x11 * x9 * iy_iz / vp.Ix + u2ix + p3
-                the_dd = -(x11 * x7 * iz_ix / vp.Iy + u3iy) + p4
-            psi_dd = x9 * x7 * ix_iy / vp.Iz + u4iz + p5
-            # perturbation double-count (core/dynamics.py:199-201): every
-            # velocity-derivative slot receives its perturb component again
-            d = (x1, (ax + p0) + p0, x3, (ay + p1) + p1,
-                 x5, (netz + p2) + p2, x7, phi_dd + p3,
-                 x9, the_dd + p4, x11, psi_dd + p5)
-            xi = tuple(xv + dt * dv for xv, dv in zip(xs, d))
-            zero = jnp.zeros_like(x0)
-
-            # --- env layer folded in: landed envs skip the dynamics
-            # (base.py:292-297).  The three nested selects of the XLA path
-            # (integrate/leveling inside dynamics.step, then the
-            # skip-when-landed select) collapse to one select per state row
-            # plus a leveling zero on roll/pitch — the masks are disjoint by
-            # construction, so the selected values are identical bit-for-bit.
-            eff_integ = integrate & ~entry_landed
-            eff_level = leveling & ~entry_landed
-            keep_p = entry_landed | touchdown
-            xs_n = tuple(jnp.where(eff_integ, a, b) for a, b in zip(xi, xs))
-            xs_n = (xs_n[:6]
-                    + (jnp.where(eff_level, zero, xs_n[6]), xs_n[7],
-                       jnp.where(eff_level, zero, xs_n[8]), xs_n[9],
-                       xs_n[10], xs_n[11]))
-            ps_n = tuple(jnp.where(keep_p, pv, zero) for pv in ps)
-            status_n = jnp.where(
-                entry_landed, status,
-                jnp.where(
-                    leveling, C.STATUS_LANDED,
-                    jnp.where(touchdown,
-                              jnp.where(crash, C.STATUS_CRASHED,
-                                        C.STATUS_LEVELING),
-                              status1))).astype(jnp.int32)
-            ticks_n = ticks + (~keep_p).astype(jnp.int32)
-            y0, y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11 = xs_n
-
-            # --- reward (base._reward) ---
-            if lander:
-                pos_sq = (y0 * y0 + y1 * y1 + y2 * y2
-                          + y3 * y3 + y4 * y4 + y5 * y5)
-                yaw_sq = y10 * y10 + y11 * y11
-                shaping = -(rp.xyz_penalty_factor * jnp.sqrt(pos_sq)
-                            + rp.yaw_penalty_factor * jnp.sqrt(yaw_sq))
-                shaping = shaping - jnp.where(jnp.abs(y5) > rp.dz_max,
-                                              rp.dz_penalty, 0.0)
-                reward = shaping - pshape
-                inside = jnp.sqrt(y0 * y0 + y2 * y2) < rp.target_radius
-                reward = reward + jnp.where(entry_landed & inside,
-                                            rp.inside_radius_bonus, 0.0)
-                done = entry_landed
-            else:  # hover: +1 per surviving step
-                shaping = jnp.zeros_like(pshape)
-                reward = jnp.ones_like(pshape)
-                done = jnp.zeros(shape, bool)
-
-            # --- standard termination (base.py:304-321) ---
-            oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
-            tilt = ((jnp.abs(y6) >= t.max_angle)
-                    | (jnp.abs(y8) >= t.max_angle))
-            crashed = status == C.STATUS_CRASHED
-            reward = jnp.where(oob, reward - t.out_of_bounds_penalty,
-                               jnp.where(tilt, -t.out_of_bounds_penalty,
-                                         reward))
-            done = done | oob | tilt | crashed | (steps == t.max_steps)
-            acc = acc + reward
-
-            # --- auto-reset (base.step + base.reset, default pose) ---
-            if random_reset:
-                def u01():
-                    bits = pltpu.bitcast(
-                        pltpu.prng_random_bits(shape), jnp.uint32)
-                    # Mosaic has no uint32->float cast; the top-24-bit value
-                    # is positive, so round-trip through int32
-                    i24 = pltpu.bitcast(bits >> 8, jnp.int32)
-                    return i24.astype(pshape.dtype) * (2.0 ** -24)
-                kick = tuple(
-                    ((2.0 * u01() - 1.0) * f_force) / vp.M for _ in range(3))
-            else:
-                kick = (zero, zero, zero)
-            xs_r = tuple(
-                jnp.where(done, rv, nv) for rv, nv in zip(
-                    (zero, zero, zero, zero, zero + (-alt0), zero,
-                     zero, zero, zero, zero, zero, zero), xs_n))
-            ps_r = tuple(
-                jnp.where(done, rv, nv) for rv, nv in zip(
-                    kick + (zero, zero, zero), ps_n))
-            status_r = jnp.where(done, status0, status_n).astype(jnp.int32)
-            ticks_r = jnp.where(done, 0, ticks_n).astype(jnp.int32)
-            steps_r = jnp.where(done, 1, steps + 1).astype(jnp.int32)
-            pshape_r = jnp.where(done, s0, shaping)
-            eps = eps + done.astype(jnp.int32)
-            return xs_r, ps_r, status_r, ticks_r, steps_r, pshape_r, acc, eps
+            env, acc, eps = carry
+            env, reward, done = env_step(env, u)
+            return env, acc + reward, eps + done.astype(jnp.int32)
 
         # Mosaic supports only unroll=1 fori_loops; unroll manually to
         # amortize loop overhead (4 physics steps per loop iteration).
@@ -290,11 +317,11 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
                 carry = one_step(carry)
             return carry
 
-        carry = (xs, ps, status, ticks, steps, pshape, acc0, eps0)
-        carry = jax.lax.fori_loop(0, num_steps // unroll, body, carry)
+        carry = jax.lax.fori_loop(0, num_steps // unroll, body,
+                                  (env0, acc0, eps0))
         for _ in range(num_steps % unroll):
             carry = one_step(carry)
-        xs, ps, status, ticks, steps, pshape, acc, eps = carry
+        (xs, ps, status, ticks, steps, pshape), acc, eps = carry
 
         for i in range(12):
             x_out[i] = xs[i]
