@@ -315,7 +315,14 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
             key=ts.key, update_idx=ts.update_idx)
 
     step = jax.jit(train_step, donate_argnums=0)
-    evaluate = make_eval_fn(env_params, spec, cfg)
+    if (jax.default_backend() == 'tpu' and spec.kind in ('lander', 'hover')
+            and num_envs % 128 == 0):
+        # fused Pallas eval: whole evaluation episode in one kernel launch,
+        # bit-identical metric (ops/pallas_policy.py)
+        from gym_copter_tpu.ops.pallas_policy import make_fused_eval_fn
+        evaluate = make_fused_eval_fn(env_params, spec, cfg)
+    else:
+        evaluate = make_eval_fn(env_params, spec, cfg)
     history = []
     for i in range(num_updates):
         ts, metrics = step(ts)

@@ -180,10 +180,14 @@ def fused_policy_eval(
     if spec.kind == 'target':
         raise ValueError('target obs rows are not state slices')
     b = state.dyn.x.shape[-1]
-    if b % pr.LANES != 0:
-        raise ValueError(f'batch {b} must be a multiple of {pr.LANES}')
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    # compiled mode: the per-step (B,) <-> (R, 128) relayouts between the
+    # MLP (batch on lanes) and the SoA physics (R, 128) tiles require R to
+    # be a whole number of (8, 128) f32 tiles
+    min_b = (8 * pr.LANES) if not interpret else pr.LANES
+    if b % min_b != 0:
+        raise ValueError(f'batch {b} must be a multiple of {min_b}')
 
     arrays = (state.dyn.x, state.dyn.perturb, state.dyn.status,
               state.dyn.ticks, state.steps, state.prev_shaping)
@@ -194,7 +198,7 @@ def fused_policy_eval(
 
 
 def make_fused_eval_fn(env_params: EnvParams, spec: TaskSpec, cfg,
-                       num_envs: int = 256, num_steps: int = 999,
+                       num_envs: int = 1024, num_steps: int = 999,
                        seed: int = 1000, interpret: Optional[bool] = None):
     """Drop-in fused replacement for `learn.ppo.make_eval_fn`: same fresh
     episodes (same seed/env-id reset), same metric, one kernel launch."""

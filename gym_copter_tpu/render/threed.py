@@ -167,3 +167,47 @@ class ThreeDHoverRenderer(ThreeDRenderer):
 
     def __init__(self, **kwargs):
         super().__init__(title='Hover', **kwargs)
+
+
+class ThreeDTargetRenderer(ThreeDRenderer):
+    """Dual-vehicle view for the Target task: the chaser copter plus a
+    second artist tracking the circling target (the reference's
+    `ThreeDTarget`, attic/gym_copter/envs/rendering/threed_target.py:11-24,
+    which instantiates a second _Vehicle with showtraj=True)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(title='Target', **kwargs)
+        self.target = VehicleArtist(self.ax, show_trace=True,
+                                    color='orange')
+
+    def play_pair(self, poses, target_xyz, fps=100, outfile=None, show=True,
+                  stride=2):
+        """Animate chaser poses (T, 6) alongside target positions (T, 3)
+        (level attitude — the reference renders the target as a second
+        vehicle fed from the env's target track)."""
+        from matplotlib import animation
+
+        poses = np.asarray(poses)[::stride]
+        txyz = np.asarray(target_xyz)[::stride]
+        self.decorate()
+
+        def animate(i):
+            j = min(i, len(poses) - 1)
+            self.vehicle.update(poses[j])
+            self.target.update(np.concatenate([txyz[j], np.zeros(3)]))
+            return []
+
+        self._anim = animation.FuncAnimation(
+            self.fig, animate, frames=len(poses),
+            interval=1000 * stride / fps, blit=False, repeat=False)
+        if outfile is not None:
+            if animation.FFMpegWriter.isAvailable():
+                writer = animation.FFMpegWriter(fps=max(1, fps // stride))
+            else:
+                if outfile.endswith('.mp4'):
+                    outfile = outfile[:-4] + '.gif'
+                writer = animation.PillowWriter(fps=max(1, fps // stride))
+            self._anim.save(outfile, writer=writer)
+            print('saved', outfile)
+        if show:
+            self._plt.show()

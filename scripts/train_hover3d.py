@@ -13,6 +13,13 @@ Usage:
 
 import argparse
 import json
+import os
+import sys
+
+# allow `python scripts/train_hover3d.py` from anywhere: the package lives
+# next to this script's parent directory (appended, not prepended, so the
+# repo's top-level `utils/` can't shadow third-party imports)
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

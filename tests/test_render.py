@@ -16,6 +16,21 @@ def test_threed_frame_rgb():
     r.close()
 
 
+def test_threed_target_dual_vehicle():
+    """Dual-vehicle Target view (attic threed_target.py:11-24): chaser +
+    circling-target artists animate together and export headlessly."""
+    import tempfile
+    from gym_copter_tpu.render.threed import ThreeDTargetRenderer
+    r = ThreeDTargetRenderer()
+    t = np.linspace(0, 1, 8)
+    poses = np.stack([t, -t, -5 + 0 * t, 0 * t, 0 * t, 0 * t], axis=1)
+    target = np.stack([10 * np.cos(t), 10 * np.sin(t), -10 + 0 * t], axis=1)
+    with tempfile.TemporaryDirectory() as d:
+        r.play_pair(poses, target, outfile=f'{d}/target.gif', show=False,
+                    stride=1)
+    r.close()
+
+
 def test_twod_render_rgb_and_prop_blink():
     from gym_copter_tpu.render.twod import TwoDLanderRenderer
     r = TwoDLanderRenderer(target_radius=2.0, initial_random_x=1.0)
