@@ -123,8 +123,13 @@ class Transition(NamedTuple):
 
 
 def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
-                    base_key, env_ids, optimizer=None):
-    """Builds the jitted PPO train step closed over static config."""
+                    base_key, env_ids, optimizer=None,
+                    rollout_mode: str = 'scan', interpret=None):
+    """Builds the jitted PPO train step closed over static config.
+
+    rollout_mode: 'scan' (XLA lax.scan, any task) or 'fused' (the whole
+    exploration rollout as one Pallas kernel — ops/pallas_actor.py;
+    lander/hover kinds, batch a multiple of 8*128 on hardware)."""
     hover = hover_motor_value(env_params)
     if optimizer is None:
         optimizer = optax.chain(
@@ -132,7 +137,7 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             optax.adam(cfg.learning_rate),
         )
 
-    def rollout(params, env_state, obs, key):
+    def scan_rollout(params, env_state, obs, key):
         def step_fn(carry, _):
             env_state, obs, key = carry
             key, sub = jax.random.split(key)
@@ -150,6 +155,24 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
         (env_state, obs, key), traj = jax.lax.scan(
             step_fn, (env_state, obs, key), None, length=cfg.rollout_steps)
         return env_state, obs, key, traj
+
+    def fused_rollout(params, env_state, obs, key):
+        from gym_copter_tpu.ops.pallas_actor import fused_training_rollout
+
+        key, sub = jax.random.split(key)
+        seed = jax.random.randint(sub, (), 0, 2 ** 31 - 1, jnp.int32)
+        ftraj, env_state = fused_training_rollout(
+            params, env_state, cfg.rollout_steps, env_params, spec,
+            obs_scale=cfg.obs_scale, action_bias=cfg.init_action_bias,
+            hover=float(hover), seed=seed, interpret=interpret)
+        traj = Transition(obs=ftraj.obs, action=ftraj.action,
+                          log_prob=ftraj.log_prob, value=ftraj.value,
+                          reward=ftraj.reward, done=ftraj.done)
+        obs = base._get_obs(env_state.dyn.x, env_state.steps, env_params,
+                            spec)
+        return env_state, obs, key, traj
+
+    rollout = fused_rollout if rollout_mode == 'fused' else scan_rollout
 
     def compute_gae(traj: Transition, last_value):
         def scan_fn(gae, tr):
@@ -287,10 +310,13 @@ def make_eval_fn(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
 def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
           num_updates: int = 200, seed: int = 0,
           cfg: PPOConfig = PPOConfig(), env_params: EnvParams = None,
-          mesh=None, log_every: int = 10, callback=None):
+          mesh=None, log_every: int = 10, callback=None,
+          rollout_mode: str = 'scan'):
     """Host-side training loop (convenience wrapper; the real work is the
     jitted train_step).  If `mesh` is given, env state is sharded along the
-    batch axis and params replicated before stepping."""
+    batch axis and params replicated before stepping.  rollout_mode='fused'
+    runs the exploration rollout as one Pallas kernel (TPU, lander/hover,
+    num_envs % 1024 == 0 — see make_train_step)."""
     from gym_copter_tpu.envs import tasks as task_registry
     from gym_copter_tpu.envs.registry import default_params
 
@@ -302,7 +328,8 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
     base_key = jax.random.PRNGKey(seed + 1)
     env_ids = jnp.arange(num_envs, dtype=jnp.int32)
     train_step, optimizer = make_train_step(env_params, spec, cfg, base_key,
-                                            env_ids)
+                                            env_ids,
+                                            rollout_mode=rollout_mode)
     ts = init_train_state(key, env_params, spec, cfg, num_envs, optimizer)
 
     if mesh is not None:

@@ -49,7 +49,8 @@ def _build_eval_kernel(env_params: EnvParams, spec: TaskSpec,
     def kernel(*refs):
         x_ref, p_ref, status_ref, ticks_ref, steps_ref, pshape_ref = refs[:6]
         w_refs = refs[6:6 + 2 * n_layers]
-        total_out, dones_out = refs[6 + 2 * n_layers:]
+        mix_ref = refs[6 + 2 * n_layers]
+        total_out, dones_out = refs[7 + 2 * n_layers:]
 
         weights = [(w_refs[2 * i][:], w_refs[2 * i + 1][:])
                    for i in range(n_layers)]
@@ -78,8 +79,8 @@ def _build_eval_kernel(env_params: EnvParams, spec: TaskSpec,
             if identity_mix:
                 m4 = motors  # mix @ motors with an identity mix is exact
             else:
-                mixc = jnp.asarray(spec.mix_matrix, motors.dtype)
-                m4 = jnp.dot(mixc, motors, preferred_element_type=motors.dtype)
+                m4 = jnp.dot(mix_ref[:], motors,
+                             preferred_element_type=motors.dtype)
             bz, u2ix, u3iy, u4iz, om = pr.motor_mix_terms(
                 m4, env_params, motors.dtype)
             return tuple(v.reshape(shape) for v in (bz, u2ix, u3iy, u4iz, om))
@@ -132,7 +133,7 @@ def _eval(state_arrays, flat_weights, *, num_steps, env_params, spec,
         return a.reshape(a.shape[:-1] + shape)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_in = 6 + len(flat_weights)
+    n_in = 7 + len(flat_weights)
     total, seen = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(shape, dtype),
@@ -148,7 +149,8 @@ def _eval(state_arrays, flat_weights, *, num_steps, env_params, spec,
         ),
         interpret=interpret,
     )(rs(x), rs(perturb), rs(status), rs(ticks), rs(steps), rs(pshape),
-      *[jnp.asarray(w, dtype) for w in flat_weights])
+      *[jnp.asarray(w, dtype) for w in flat_weights],
+      jnp.asarray(spec.mix_matrix, dtype))
     return total.reshape(b), seen.reshape(b)
 
 

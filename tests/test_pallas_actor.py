@@ -1,0 +1,143 @@
+"""Fused PPO training-rollout kernel vs the XLA scan rollout.
+
+With the noise scale collapsed below f32 resolution (log_std = -60) both
+paths take identical mean actions, so trajectories must agree to float
+tolerance.  (Not bit-exactness: XLA's algebraic simplifier constant-folds
+multiplication chains differently across separately compiled programs, so
+ulp-level drift between the oracle and the kernel is expected and allowed
+here — the training rollout's RNG stream is kernel-internal anyway.)
+
+Also checks the exploration-noise statistics and the PPO integration
+(one fused-rollout train step end-to-end in interpret mode).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gym_copter_tpu.control.heuristics import hover_motor_value
+from gym_copter_tpu.core import vehicles
+from gym_copter_tpu.core.types import EnvParams, TaskParams
+from gym_copter_tpu.envs import base, tasks
+from gym_copter_tpu.learn import ppo
+from gym_copter_tpu.ops import pallas_actor as pa
+
+B = 128
+
+
+def _setup(log_std, max_steps=40, hidden=16):
+    spec = tasks.HOVER_3D
+    env_params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                           task=TaskParams(initial_random_force=0.0,
+                                           max_steps=max_steps))
+    cfg = ppo.PPOConfig(hidden=hidden, init_log_std=log_std)
+    params = ppo.init_params(jax.random.PRNGKey(3), spec.obs_size,
+                             spec.action_size, cfg)
+    key = jax.random.PRNGKey(0)
+    ids = jnp.arange(B, dtype=jnp.int32)
+    state, obs0 = base.reset(key, ids, jnp.zeros(B, jnp.int32), env_params,
+                             spec, dtype=jnp.float32)
+    return spec, env_params, cfg, params, key, ids, state, obs0
+
+
+def test_fused_rollout_matches_scan_with_zero_noise():
+    spec, env_params, cfg, params, key, ids, state, obs0 = _setup(-60.0)
+    hover = float(hover_motor_value(env_params))
+    T = 16
+
+    traj, fin = pa.fused_training_rollout(
+        params, state, T, env_params, spec, obs_scale=cfg.obs_scale,
+        action_bias=cfg.init_action_bias, hover=hover, seed=0,
+        interpret=True)
+
+    def oracle():
+        def step_fn(carry, _):
+            env_state, obs, k = carry
+            k, sub = jax.random.split(k)
+            mean, log_std, value = ppo._policy(params, obs, cfg)
+            action = mean + jnp.exp(log_std) * jax.random.normal(
+                sub, mean.shape, mean.dtype)
+            env_action = hover * (1.0 + action)
+            env_state, ts = base.step(env_state, env_action, key, ids,
+                                      env_params, spec)
+            return (env_state, ts.obs, k), (obs, action, value, ts.reward,
+                                            ts.done)
+        (fs, _, _), tr = jax.lax.scan(
+            step_fn, (state, obs0, jax.random.PRNGKey(9)), None, length=T)
+        return fs, tr
+
+    fs, (o, a, v, r, d) = jax.jit(oracle)()
+    np.testing.assert_allclose(np.asarray(traj.obs), np.asarray(o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(traj.action), np.asarray(a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj.value), np.asarray(v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(traj.reward), np.asarray(r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(traj.done),
+                                  np.asarray(d.astype(jnp.float32)))
+    np.testing.assert_allclose(np.asarray(fin.dyn.x), np.asarray(fs.dyn.x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exploration_noise_statistics():
+    """z = (action - mean)/std must look standard-normal and the log_prob
+    must match ppo._log_prob recomputed from (mean, log_std, action)."""
+    spec, env_params, cfg, params, key, ids, state, obs0 = _setup(-1.0)
+    hover = float(hover_motor_value(env_params))
+    T = 64
+    traj, _ = pa.fused_training_rollout(
+        params, state, T, env_params, spec, obs_scale=cfg.obs_scale,
+        action_bias=cfg.init_action_bias, hover=hover, seed=7,
+        interpret=True)
+
+    mean, log_std, _ = ppo._policy(params,
+                                   traj.obs.reshape(-1, traj.obs.shape[-1])
+                                   if False else traj.obs[0], cfg)
+    # recompute per-step: policy on stored obs must reproduce the stored
+    # log_prob through ppo's own density function
+    def check(obs_t, act_t, lp_t):
+        m, ls, _ = ppo._policy(params, obs_t, cfg)
+        lp = ppo._log_prob(m, ls, act_t)
+        return jnp.max(jnp.abs(lp - lp_t))
+    errs = jax.vmap(check)(traj.obs, traj.action, traj.log_prob)
+    assert float(jnp.max(errs)) < 1e-3
+
+    # noise statistics over T*A*B samples
+    m_all = jax.vmap(lambda o: ppo._policy(params, o, cfg)[0])(traj.obs)
+    z = (traj.action - m_all) * jnp.exp(-params['log_std'][None, :, None])
+    z = np.asarray(z).ravel()
+    assert abs(z.mean()) < 0.02
+    assert abs(z.std() - 1.0) < 0.02
+    # different seed -> different noise
+    traj2, _ = pa.fused_training_rollout(
+        params, state, T, env_params, spec, obs_scale=cfg.obs_scale,
+        action_bias=cfg.init_action_bias, hover=hover, seed=8,
+        interpret=True)
+    assert not bool(jnp.all(traj2.action == traj.action))
+    # same seed -> identical
+    traj3, _ = pa.fused_training_rollout(
+        params, state, T, env_params, spec, obs_scale=cfg.obs_scale,
+        action_bias=cfg.init_action_bias, hover=hover, seed=7,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(traj3.action),
+                                  np.asarray(traj.action))
+
+
+def test_ppo_train_step_with_fused_rollout():
+    """One full PPO update driven by the fused rollout: finite metrics and
+    matching Transition layout."""
+    spec, env_params, cfg, params, key, ids, state, obs0 = _setup(
+        -1.0, hidden=16)
+    cfg = cfg._replace(rollout_steps=8, minibatches=2, epochs=2)
+    train_step, optimizer = ppo.make_train_step(
+        env_params, spec, cfg, key, ids, rollout_mode='fused',
+        interpret=True)
+    ts = ppo.init_train_state(jax.random.PRNGKey(2), env_params, spec, cfg,
+                              B, optimizer)
+    ts2, metrics = train_step(ts)
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), k
+    assert int(ts2.update_idx) == 1
