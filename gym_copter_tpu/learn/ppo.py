@@ -311,18 +311,25 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
           num_updates: int = 200, seed: int = 0,
           cfg: PPOConfig = PPOConfig(), env_params: EnvParams = None,
           mesh=None, log_every: int = 10, callback=None,
-          rollout_mode: str = 'scan'):
+          rollout_mode: str = 'auto'):
     """Host-side training loop (convenience wrapper; the real work is the
     jitted train_step).  If `mesh` is given, env state is sharded along the
     batch axis and params replicated before stepping.  rollout_mode='fused'
     runs the exploration rollout as one Pallas kernel (TPU, lander/hover,
-    num_envs % 1024 == 0 — see make_train_step)."""
+    num_envs % 1024 == 0 — see make_train_step); the default 'auto' picks
+    it whenever those conditions hold (~4x faster updates on one v5e)."""
     from gym_copter_tpu.envs import tasks as task_registry
     from gym_copter_tpu.envs.registry import default_params
 
     spec = task_registry.ALL_TASKS[env_name]
     if env_params is None:
         env_params = default_params()
+
+    if rollout_mode == 'auto':
+        rollout_mode = 'fused' if (
+            jax.default_backend() == 'tpu' and mesh is None
+            and spec.kind in ('lander', 'hover') and num_envs % 1024 == 0
+        ) else 'scan'
 
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.PRNGKey(seed + 1)
