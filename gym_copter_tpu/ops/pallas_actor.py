@@ -171,6 +171,8 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
         for k in range(chunk):
             xs = env[0]
             obs2d = jnp.stack([xs[j] for j in obs_idx]).reshape(n_obs, b)
+            if spec.negate_obs:
+                obs2d = -obs2d  # ENU observation (attic althold.py:48-50)
             h = obs2d / obs_scale
             mean = mlp(actor_w, h, n_actor) + action_bias
             value = mlp(critic_w, h, n_critic)[0]          # (B,)

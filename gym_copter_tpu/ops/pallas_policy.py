@@ -67,6 +67,8 @@ def _build_eval_kernel(env_params: EnvParams, spec: TaskSpec,
             Replicates ppo._policy + base._raw_step's action path +
             pallas_rollout.motor_mix_terms, identical op order."""
             obs = jnp.stack([xs[i] for i in obs_idx]).reshape(len(obs_idx), b)
+            if spec.negate_obs:
+                obs = -obs  # ENU observation (attic althold.py:48-50)
             h = obs / obs_scale
             for i, (w, bias) in enumerate(weights):
                 h = jnp.dot(w, h, preferred_element_type=h.dtype) + bias

@@ -116,7 +116,10 @@ def _reset_constants(params: EnvParams, spec: TaskSpec):
         s0 = -(np.float32(rp.xyz_penalty_factor) * np.sqrt(z * z)
                + np.float32(rp.yaw_penalty_factor) * np.float32(0.0))
         s0 = float(s0)
-    else:
+    elif spec.kind == 'takeoff':
+        s0 = float(-np.abs(np.float32(alt)
+                           - np.float32(params.task.takeoff_target)))
+    else:  # hover / althold / distance carry no (or zero) initial shaping
         s0 = 0.0
     return alt, status0, s0
 
@@ -140,7 +143,7 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
     rp = params.reward
     dt = t.dt
     g = params.world.g
-    lander = spec.kind == 'lander'
+    kind = spec.kind
     # Eq.12 inertia constants, combined host-side with the same Python-float
     # arithmetic the XLA path's tracing performs (core/dynamics.py:170-196)
     iy_iz = vp.Iy - vp.Iz
@@ -198,14 +201,18 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
         zero = jnp.zeros_like(x0)
 
         # --- env layer folded in: landed envs skip the dynamics
-        # (base.py:292-297).  The three nested selects of the XLA path
-        # (integrate/leveling inside dynamics.step, then the
-        # skip-when-landed select) collapse to one select per state row
-        # plus a leveling zero on roll/pitch — the masks are disjoint by
-        # construction, so the selected values are identical bit-for-bit.
-        eff_integ = integrate & ~entry_landed
-        eff_level = leveling & ~entry_landed
-        keep_p = entry_landed | touchdown
+        # (base.py:292-297) unless the task drives the dynamics directly
+        # from the ground (skip_when_landed=False, e.g. Takeoff).  The
+        # three nested selects of the XLA path (integrate/leveling inside
+        # dynamics.step, then the skip-when-landed select) collapse to one
+        # select per state row plus a leveling zero on roll/pitch — the
+        # masks are disjoint by construction, so the selected values are
+        # identical bit-for-bit.
+        skip = entry_landed if spec.skip_when_landed \
+            else jnp.zeros(shape, bool)
+        eff_integ = integrate & ~skip
+        eff_level = leveling & ~skip
+        keep_p = skip | touchdown
         xs_n = tuple(jnp.where(eff_integ, a, b) for a, b in zip(xi, xs))
         xs_n = (xs_n[:6]
                 + (jnp.where(eff_level, zero, xs_n[6]), xs_n[7],
@@ -213,7 +220,7 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
                    xs_n[10], xs_n[11]))
         ps_n = tuple(jnp.where(keep_p, pv, zero) for pv in ps)
         status_n = jnp.where(
-            entry_landed, status,
+            skip, status,
             jnp.where(
                 leveling, C.STATUS_LANDED,
                 jnp.where(touchdown,
@@ -224,7 +231,7 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
         y0, y1, y2, y3, y4, y5, y6, y7, y8, y9, y10, y11 = xs_n
 
         # --- reward (base._reward) ---
-        if lander:
+        if kind == 'lander':
             pos_sq = (y0 * y0 + y1 * y1 + y2 * y2
                       + y3 * y3 + y4 * y4 + y5 * y5)
             yaw_sq = y10 * y10 + y11 * y11
@@ -237,20 +244,39 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
             reward = reward + jnp.where(entry_landed & inside,
                                         rp.inside_radius_bonus, 0.0)
             done = entry_landed
+        elif kind == 'althold':
+            # +1 per step within tolerance (attic althold.py:52)
+            on_target = (jnp.abs(-y4 - t.althold_target)
+                         < t.althold_tolerance)
+            shaping = jnp.zeros_like(pshape)
+            reward = on_target.astype(pshape.dtype)
+            done = jnp.zeros(shape, bool)
+        elif kind == 'takeoff':
+            # -|alt - target| shaping delta (attic takeoff.py:83-87)
+            shaping = -jnp.abs(-y4 - t.takeoff_target)
+            reward = shaping - pshape
+            done = jnp.zeros(shape, bool)
+        elif kind == 'distance':
+            # sqrt(x^2 + y^2) shaping delta (attic distance.py:79-83)
+            shaping = jnp.sqrt(y0 * y0 + y2 * y2)
+            reward = shaping - pshape
+            done = jnp.zeros(shape, bool)
         else:  # hover: +1 per surviving step
             shaping = jnp.zeros_like(pshape)
             reward = jnp.ones_like(pshape)
             done = jnp.zeros(shape, bool)
 
-        # --- standard termination (base.py:304-321) ---
-        oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
-        tilt = ((jnp.abs(y6) >= t.max_angle)
-                | (jnp.abs(y8) >= t.max_angle))
-        crashed = status == C.STATUS_CRASHED
-        reward = jnp.where(oob, reward - t.out_of_bounds_penalty,
-                           jnp.where(tilt, -t.out_of_bounds_penalty,
-                                     reward))
-        done = done | oob | tilt | crashed | (steps == t.max_steps)
+        if spec.termination == 'standard':
+            # --- standard termination (base.py:304-321) ---
+            oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
+            tilt = ((jnp.abs(y6) >= t.max_angle)
+                    | (jnp.abs(y8) >= t.max_angle))
+            crashed = status == C.STATUS_CRASHED
+            reward = jnp.where(oob, reward - t.out_of_bounds_penalty,
+                               jnp.where(tilt, -t.out_of_bounds_penalty,
+                                         reward))
+            done = done | oob | tilt | crashed
+        done = done | (steps == t.max_steps)
 
         # --- auto-reset (base.step + base.reset, default pose) ---
         if random_reset:
@@ -338,10 +364,13 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
 
 
 def supports(params: EnvParams, spec: TaskSpec) -> bool:
-    """Whether the fused kernel covers this task configuration."""
-    return (spec.kind in ('lander', 'hover')
-            and spec.termination == 'standard'
-            and spec.skip_when_landed
+    """Whether the fused kernel covers this task configuration.  Only the
+    'target' kind is excluded (its observation carries a step-indexed
+    moving-target track rather than state slices, and its reward is a
+    stub — attic target.py:44-51)."""
+    return (spec.kind in ('lander', 'hover', 'althold', 'takeoff',
+                          'distance')
+            and spec.termination in ('standard', 'none')
             and spec.action_mode in ('clip01', 'rescale01', 'raw'))
 
 

@@ -78,7 +78,7 @@ def test_trained_like_policy_hovers():
 
 
 def test_unsupported_spec_raises():
-    spec = tasks.ALTHOLD
+    spec = tasks.TARGET
     env_params, cfg, params = _setup(tasks.LANDER_3D)
     with pytest.raises(ValueError):
         pp.make_fused_eval_fn(env_params, spec, cfg, num_envs=B,

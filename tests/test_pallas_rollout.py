@@ -134,9 +134,22 @@ def test_unsupported_spec_raises():
         state, _ = base.reset(jax.random.PRNGKey(0),
                               jnp.arange(B, dtype=jnp.int32),
                               jnp.zeros(B, jnp.int32),
-                              _params(), tasks.ALTHOLD)
-        pr.fused_rollout(state, jnp.zeros((1, B)), 10, _params(),
-                         tasks.ALTHOLD)
+                              _params(), tasks.TARGET)
+        pr.fused_rollout(state, jnp.zeros((4, B)), 10, _params(),
+                         tasks.TARGET)
+
+
+@pytest.mark.parametrize('spec_name,action', [
+    ('ALTHOLD', [0.1]),        # rescale01, holds near 10 m
+    ('TAKEOFF', [0.02] * 4),   # raw motors, grounded start
+    ('DISTANCE', [0.02] * 4),  # raw motors, shaping delta
+])
+def test_aux_task_parity(spec_name, action):
+    """AltHold / Takeoff / Distance kinds through the fused kernel:
+    bit-exact against the XLA scan path (deterministic mode)."""
+    spec = getattr(tasks, spec_name)
+    fused, scan = _run_both(spec, _params(max_steps=80), action, 200)
+    _assert_match(fused, scan, spec_name.lower())
 
 
 def test_batch_must_tile():
