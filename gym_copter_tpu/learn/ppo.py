@@ -124,12 +124,15 @@ class Transition(NamedTuple):
 
 def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
                     base_key, env_ids, optimizer=None,
-                    rollout_mode: str = 'scan', interpret=None):
+                    rollout_mode: str = 'scan', interpret=None, mesh=None):
     """Builds the jitted PPO train step closed over static config.
 
     rollout_mode: 'scan' (XLA lax.scan, any task) or 'fused' (the whole
     exploration rollout as one Pallas kernel — ops/pallas_actor.py;
-    lander/hover kinds, batch a multiple of 8*128 on hardware)."""
+    batch a multiple of 8*128 per device on hardware).  With a `mesh`,
+    'fused' runs the kernel per-device under shard_map (each shard must
+    satisfy the batch constraint); 'scan' relies on the automatic SPMD
+    partitioner."""
     hover = hover_motor_value(env_params)
     if optimizer is None:
         optimizer = optax.chain(
@@ -161,10 +164,19 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
 
         key, sub = jax.random.split(key)
         seed = jax.random.randint(sub, (), 0, 2 ** 31 - 1, jnp.int32)
-        ftraj, env_state = fused_training_rollout(
-            params, env_state, cfg.rollout_steps, env_params, spec,
-            obs_scale=cfg.obs_scale, action_bias=cfg.init_action_bias,
-            hover=float(hover), seed=seed, interpret=interpret)
+        if mesh is not None:
+            from gym_copter_tpu.parallel.sharding import (
+                sharded_fused_training_rollout)
+            ftraj, env_state = sharded_fused_training_rollout(
+                params, env_state, cfg.rollout_steps, env_params, spec,
+                mesh, obs_scale=cfg.obs_scale,
+                action_bias=cfg.init_action_bias, hover=float(hover),
+                seed=seed, interpret=interpret)
+        else:
+            ftraj, env_state = fused_training_rollout(
+                params, env_state, cfg.rollout_steps, env_params, spec,
+                obs_scale=cfg.obs_scale, action_bias=cfg.init_action_bias,
+                hover=float(hover), seed=seed, interpret=interpret)
         traj = Transition(obs=ftraj.obs, action=ftraj.action,
                           log_prob=ftraj.log_prob, value=ftraj.value,
                           reward=ftraj.reward, done=ftraj.done)
@@ -326,9 +338,11 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
         env_params = default_params()
 
     if rollout_mode == 'auto':
+        per_device = num_envs // (mesh.devices.size if mesh is not None
+                                  else 1)
         rollout_mode = 'fused' if (
-            jax.default_backend() == 'tpu' and mesh is None
-            and spec.kind in ('lander', 'hover') and num_envs % 1024 == 0
+            jax.default_backend() == 'tpu'
+            and spec.kind in ('lander', 'hover') and per_device % 1024 == 0
         ) else 'scan'
 
     key = jax.random.PRNGKey(seed)
@@ -336,7 +350,8 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
     env_ids = jnp.arange(num_envs, dtype=jnp.int32)
     train_step, optimizer = make_train_step(env_params, spec, cfg, base_key,
                                             env_ids,
-                                            rollout_mode=rollout_mode)
+                                            rollout_mode=rollout_mode,
+                                            mesh=mesh)
     ts = init_train_state(key, env_params, spec, cfg, num_envs, optimizer)
 
     if mesh is not None:

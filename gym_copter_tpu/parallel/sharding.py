@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -64,6 +65,52 @@ def shard_env_state(tree, mesh: Mesh, axis: str = ENV_AXIS):
 def replicate(tree, mesh: Mesh):
     """Place a pytree (e.g. learner params) replicated on every device."""
     return jax.device_put(tree, jax.tree.map(lambda _: replicated(mesh), tree))
+
+
+def sharded_fused_training_rollout(net_params, state, num_steps: int,
+                                   env_params, spec, mesh: Mesh, *,
+                                   obs_scale, action_bias, hover, seed,
+                                   axis: str = ENV_AXIS, interpret=None):
+    """Multi-chip fused PPO rollout: every device runs the
+    `ops.pallas_actor.fused_training_rollout` kernel on its env shard with
+    replicated policy parameters; per-device exploration-noise streams are
+    decorrelated by folding the mesh position into the seed.  Environments
+    never communicate, so the rollout itself needs zero collectives — the
+    PPO gradient all-reduce downstream is the only cross-device traffic.
+
+    Returns (FusedTrajectory, EnvState) with trajectory/state leaves
+    sharded along the batch axis.
+    """
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from gym_copter_tpu.core.dynamics import DynamicsState
+    from gym_copter_tpu.envs.base import EnvState as ES
+    from gym_copter_tpu.ops import pallas_actor as pa
+
+    def batch_spec(a):
+        return P(*([None] * (np.ndim(a) - 1) + [axis]))
+
+    state_specs = jax.tree.map(batch_spec, state)
+    traj_specs = pa.FusedTrajectory(
+        obs=P(None, None, axis), action=P(None, None, axis),
+        log_prob=P(None, axis), value=P(None, axis),
+        reward=P(None, axis), done=P(None, axis))
+
+    def local(net_params, state, seed):
+        dev_seed = seed + jax.lax.axis_index(axis) * 7919
+        return pa.fused_training_rollout(
+            net_params, state, num_steps, env_params, spec,
+            obs_scale=obs_scale, action_bias=action_bias, hover=hover,
+            seed=dev_seed, interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), state_specs, P()),
+                   out_specs=(traj_specs, state_specs),
+                   check_vma=False)
+    return fn(net_params, state, jnp.asarray(seed, jnp.int32))
 
 
 def sharded_fused_rollout(state, action, num_steps: int, params, spec,

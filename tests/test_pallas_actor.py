@@ -126,6 +126,81 @@ def test_exploration_noise_statistics():
                                   np.asarray(traj.action))
 
 
+def test_sharded_fused_training_rollout_matches_unsharded():
+    """Sharding the fused PPO rollout over the 8-device CPU mesh must not
+    change the trajectory when the noise scale is collapsed (mean actions,
+    deterministic env)."""
+    from gym_copter_tpu.parallel import sharding as sh
+
+    spec = tasks.HOVER_3D
+    n_dev = len(jax.devices())
+    big = n_dev * B
+    env_params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                           task=TaskParams(initial_random_force=0.0,
+                                           max_steps=40))
+    cfg = ppo.PPOConfig(hidden=16, init_log_std=-60.0)
+    params = ppo.init_params(jax.random.PRNGKey(3), spec.obs_size,
+                             spec.action_size, cfg)
+    key = jax.random.PRNGKey(0)
+    ids = jnp.arange(big, dtype=jnp.int32)
+    state, _ = base.reset(key, ids, jnp.zeros(big, jnp.int32), env_params,
+                          spec, dtype=jnp.float32)
+    hover = float(hover_motor_value(env_params))
+    T = 12
+
+    mesh = sh.make_mesh()
+    s_traj, s_fin = sh.sharded_fused_training_rollout(
+        params, sh.shard_env_state(state, mesh), T, env_params, spec, mesh,
+        obs_scale=cfg.obs_scale, action_bias=cfg.init_action_bias,
+        hover=hover, seed=0, interpret=True)
+    u_traj, u_fin = pa.fused_training_rollout(
+        params, state, T, env_params, spec, obs_scale=cfg.obs_scale,
+        action_bias=cfg.init_action_bias, hover=hover, seed=0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(s_traj.obs), np.asarray(u_traj.obs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_traj.reward),
+                               np.asarray(u_traj.reward),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_traj.done),
+                                  np.asarray(u_traj.done))
+    np.testing.assert_allclose(np.asarray(s_fin.dyn.x),
+                               np.asarray(u_fin.dyn.x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_ppo_train_step_with_fused_sharded_mesh():
+    """Full PPO update on the virtual mesh with the shard_mapped fused
+    rollout: the real multi-chip training configuration, compiled and
+    executed end-to-end."""
+    from gym_copter_tpu.parallel import sharding as sh
+
+    spec = tasks.HOVER_3D
+    n_dev = len(jax.devices())
+    num_envs = n_dev * B
+    env_params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                           task=TaskParams(max_steps=40,
+                                           initial_random_force=0.0))
+    cfg = ppo.PPOConfig(hidden=16, rollout_steps=8, minibatches=2, epochs=2)
+    key = jax.random.PRNGKey(1)
+    ids = jnp.arange(num_envs, dtype=jnp.int32)
+    mesh = sh.make_mesh()
+    train_step, optimizer = ppo.make_train_step(
+        env_params, spec, cfg, key, ids, rollout_mode='fused',
+        interpret=True, mesh=mesh)
+    ts = ppo.init_train_state(jax.random.PRNGKey(2), env_params, spec, cfg,
+                              num_envs, optimizer)
+    ts = ppo.TrainState(params=sh.replicate(ts.params, mesh),
+                        opt_state=sh.replicate(ts.opt_state, mesh),
+                        env_state=sh.shard_env_state(ts.env_state, mesh),
+                        obs=sh.shard_env_state(ts.obs, mesh),
+                        key=ts.key, update_idx=ts.update_idx)
+    ts2, metrics = jax.jit(train_step)(ts)
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), k
+    assert int(ts2.update_idx) == 1
+
+
 def test_ppo_train_step_with_fused_rollout():
     """One full PPO update driven by the fused rollout: finite metrics and
     matching Transition layout."""
