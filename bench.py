@@ -25,11 +25,11 @@ Prints exactly one JSON line:
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 
+from gym_copter_tpu.utils import profiling
 from gym_copter_tpu.core import vehicles
 from gym_copter_tpu.core.types import EnvParams
 from gym_copter_tpu.envs import base, tasks
@@ -68,18 +68,13 @@ def main():
         s_eps = float(jnp.mean(st_['episodes']))
         assert abs(f_eps - s_eps) < 0.5, (f_eps, s_eps)
 
-    def timed(num_steps):
-        st, tot = rollout(state, num_steps, 1)          # warm-up / compile
-        _ = float(tot['reward_sum'][0])
-        t0 = time.perf_counter()
-        st = state
-        for i in range(REPS):
-            st, tot = rollout(st, num_steps, i)
-            _ = float(tot['reward_sum'][0])             # forced host sync
-        return (time.perf_counter() - t0) / REPS
+    def run(num_steps):
+        _, tot = rollout(state, num_steps, 0)
+        return float(tot['reward_sum'][0])              # forced host sync
 
-    t_lo, t_hi = timed(T_LO), timed(T_HI)
-    steps_per_sec = B * (T_HI - T_LO) / max(t_hi - t_lo, 1e-9)
+    res = profiling.differential_steps_per_sec(run, T_LO, T_HI, batch=B,
+                                               reps=REPS)
+    steps_per_sec = res['steps_per_sec']
 
     print(json.dumps({
         'metric': 'lander3d_env_steps_per_sec_4096envs_1chip',
