@@ -110,6 +110,23 @@ class CopterEnv:
         return self._rollout_cache[cache_key](
             state, policy_state, obs, self.base_key, self.env_ids)
 
+    def fused_rollout(self, state: EnvState, action, num_steps: int,
+                      seed: int = 0):
+        """Run `num_steps` auto-resetting steps with a constant action as
+        ONE Pallas kernel launch (ops/pallas_rollout.py) — the
+        speed-of-light path (~20x the scan rollout on a v5e chip).  Falls
+        back to the XLA scan for task kinds outside the fused family
+        (Target) or non-tile-aligned batches.  Returns (EnvState, totals)
+        with totals = {'reward_sum': (B,), 'episodes': (B,)}."""
+        from gym_copter_tpu.ops import pallas_rollout as pr
+
+        if (pr.supports(self.params, self.spec)
+                and self.num_envs % pr.LANES == 0):
+            return pr.fused_rollout(state, action, num_steps, self.params,
+                                    self.spec, seed=seed)
+        return pr.scan_rollout(state, action, self.base_key, self.env_ids,
+                               num_steps, self.params, self.spec)
+
     def run_episode(self, state: EnvState, actions):
         """Step through a pre-scripted action sequence (T, A, B) as one
         scan; returns (final_state, trajectory TimeStep with leading T

@@ -224,3 +224,21 @@ def test_random_reset_mode_tpu():
                                   tasks.LANDER_3D, seed=7)
     np.testing.assert_array_equal(np.asarray(tot['reward_sum']),
                                   np.asarray(tot2['reward_sum']))
+
+
+def test_copter_env_fused_rollout_handle():
+    """Public handle path: env.fused_rollout dispatches to the kernel for
+    supported tasks and to the XLA scan for the rest (Target)."""
+    import gym_copter_tpu as gct
+
+    env = gct.make('Hover3D-v0', num_envs=B,
+                   params=_params(max_steps=30), seed=0)
+    state, _ = env.reset()
+    action = jnp.full((4, B), 1.66e-2, jnp.float32)
+    state2, tot = env.fused_rollout(state, action, 90)
+    assert int(jnp.min(tot['episodes'])) >= 2   # 30-step cap, 90 steps
+    # unsupported kind falls back without error
+    tenv = gct.make('Target-v0', num_envs=16, params=_params(max_steps=30))
+    ts_, _ = tenv.reset()
+    _, ttot = tenv.fused_rollout(ts_, jnp.zeros((4, 16)), 40)
+    assert ttot['episodes'].shape == (16,)
