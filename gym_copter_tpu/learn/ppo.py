@@ -54,6 +54,16 @@ class PPOConfig(NamedTuple):
     # hover (task pre-solved — useful for control experiments); -1.0 starts
     # with motors off, so hovering must actually be learned.
     init_action_bias: float = -1.0
+    # stability knobs: PPO-style value clipping (0 disables), a clamp on
+    # the learnable exploration log-std (stops late-training std collapse /
+    # blow-up, the usual cause of post-peak curve collapse), and linear LR
+    # annealing to anneal_lr_floor * learning_rate over the whole run
+    # (enabled by train() when the update count is known).
+    value_clip: float = 0.2
+    log_std_min: float = -4.0
+    log_std_max: float = 0.5
+    anneal_lr: bool = True
+    anneal_lr_floor: float = 0.05
 
 
 class TrainState(NamedTuple):
@@ -99,12 +109,16 @@ def init_params(key, obs_size, action_size, cfg: PPOConfig, dtype=jnp.float32):
     }
 
 
+def _clipped_log_std(params, cfg: PPOConfig):
+    return jnp.clip(params['log_std'], cfg.log_std_min, cfg.log_std_max)
+
+
 def _policy(params, obs, cfg: PPOConfig):
     """Returns (mean (A,N), log_std (A,1), value (N,))."""
     x = obs / cfg.obs_scale
     mean = mlp_apply(params['actor'], x) + cfg.init_action_bias
     value = mlp_apply(params['critic'], x)[0]
-    return mean, params['log_std'][:, None], value
+    return mean, _clipped_log_std(params, cfg)[:, None], value
 
 
 def _log_prob(mean, log_std, action):
@@ -162,6 +176,9 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
     def fused_rollout(params, env_state, obs, key):
         from gym_copter_tpu.ops.pallas_actor import fused_training_rollout
 
+        # keep the kernel's sampling distribution bit-identical to the one
+        # the loss recomputes: clamp log_std before it enters the kernel
+        params = dict(params, log_std=_clipped_log_std(params, cfg))
         key, sub = jax.random.split(key)
         seed = jax.random.randint(sub, (), 0, 2 ** 31 - 1, jnp.int32)
         if mesh is not None:
@@ -201,7 +218,8 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             reverse=True)
         return advantages, advantages + traj.value
 
-    def loss_fn(params, obs, action, old_log_prob, advantage, target):
+    def loss_fn(params, obs, action, old_log_prob, old_value, advantage,
+                target):
         mean, log_std, value = _policy(params, obs, cfg)
         log_prob = _log_prob(mean, log_std, action)
         ratio = jnp.exp(log_prob - old_log_prob)
@@ -209,14 +227,22 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
         pg1 = ratio * adv
         pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv
         pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
-        v_loss = 0.5 * jnp.mean((value - target) ** 2)
+        if cfg.value_clip > 0:
+            # PPO value clipping: bound how far the critic may move from
+            # its rollout-time prediction per update, pessimistic max
+            v_clipped = old_value + jnp.clip(value - old_value,
+                                             -cfg.value_clip, cfg.value_clip)
+            v_loss = 0.5 * jnp.mean(jnp.maximum((value - target) ** 2,
+                                                (v_clipped - target) ** 2))
+        else:
+            v_loss = 0.5 * jnp.mean((value - target) ** 2)
         entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
         loss = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
         return loss, (pg_loss, v_loss, entropy)
 
     def update_epoch(carry, _):
         params, opt_state, key, flat = carry
-        obs, action, old_lp, adv, tgt = flat
+        obs, action, old_lp, old_v, adv, tgt = flat
         n = obs.shape[-1]
         key, sub = jax.random.split(key)
         perm = jax.random.permutation(sub, n)
@@ -227,7 +253,7 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
             grads, aux = jax.grad(loss_fn, has_aux=True)(
                 params, obs[:, idx], action[:, idx], old_lp[idx],
-                adv[idx], tgt[idx])
+                old_v[idx], adv[idx], tgt[idx])
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), aux
@@ -251,7 +277,7 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             return jnp.moveaxis(x, 1, 0).reshape(x.shape[1], -1)
 
         flat = (flat3(traj.obs), flat3(traj.action), flat2(traj.log_prob),
-                flat2(adv), flat2(target))
+                flat2(traj.value), flat2(adv), flat2(target))
 
         (params, opt_state, key, _), aux = jax.lax.scan(
             update_epoch, (ts.params, ts.opt_state, key, flat), None,
@@ -348,10 +374,23 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.PRNGKey(seed + 1)
     env_ids = jnp.arange(num_envs, dtype=jnp.int32)
+    optimizer = None
+    if cfg.anneal_lr:
+        # linear LR decay over the whole run (counted in optimizer steps:
+        # epochs * minibatches per update) — the single biggest stabilizer
+        # against late-training policy collapse
+        schedule = optax.linear_schedule(
+            init_value=cfg.learning_rate,
+            end_value=cfg.learning_rate * cfg.anneal_lr_floor,
+            transition_steps=num_updates * cfg.epochs * cfg.minibatches)
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(schedule),
+        )
     train_step, optimizer = make_train_step(env_params, spec, cfg, base_key,
                                             env_ids,
                                             rollout_mode=rollout_mode,
-                                            mesh=mesh)
+                                            mesh=mesh, optimizer=optimizer)
     ts = init_train_state(key, env_params, spec, cfg, num_envs, optimizer)
 
     if mesh is not None:

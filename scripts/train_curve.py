@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Multi-seed PPO learning-curve validation (BASELINE.json configs[3]).
+
+Trains the actor-learner on one host for each requested seed and records
+the deterministic-eval learning curves plus cross-seed aggregate stats
+(mean/min/max of the final-window eval return).  This is the harness behind
+docs/hover3d_curve.json and docs/lander3d_curve.json — the learning targets
+are "converged and stays converged" for Hover3D (eval_return near the
+999-step cap) and eval return >= 300 for Lander3D (the reference's own TD3
+target, attic/drl/Makefile:2-5).
+
+Usage:
+  python scripts/train_curve.py --env Hover3D-v0 --seeds 0 1 2 \
+      --updates 1500 --out docs/hover3d_curve.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from gym_copter_tpu.learn import ppo
+from gym_copter_tpu.utils import checkpoint
+
+
+def run_seed(args, seed):
+    cfg = ppo.PPOConfig(rollout_steps=args.rollout,
+                        entropy_coef=args.entropy,
+                        learning_rate=args.lr,
+                        gamma=args.gamma,
+                        value_clip=args.value_clip,
+                        log_std_max=args.log_std_max,
+                        anneal_lr=not args.no_anneal,
+                        hidden=args.hidden)
+    ts, history = ppo.train(args.env, num_envs=args.envs,
+                            num_updates=args.updates, seed=seed,
+                            cfg=cfg, log_every=args.log_every)
+    curve = [{'update': i, **m} for i, m in history]
+    return ts, curve
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--env', default='Hover3D-v0')
+    p.add_argument('--updates', type=int, default=1500)
+    p.add_argument('--envs', type=int, default=1024)
+    p.add_argument('--seeds', type=int, nargs='+', default=[0, 1, 2])
+    p.add_argument('--rollout', type=int, default=128)
+    p.add_argument('--lr', type=float, default=1e-3)
+    p.add_argument('--entropy', type=float, default=0.0)
+    p.add_argument('--gamma', type=float, default=0.99)
+    p.add_argument('--value-clip', type=float, default=0.2)
+    p.add_argument('--log-std-max', type=float, default=0.5)
+    p.add_argument('--no-anneal', action='store_true')
+    p.add_argument('--hidden', type=int, default=64)
+    p.add_argument('--final-window', type=int, default=300,
+                   help='updates at the tail over which "final" is averaged')
+    p.add_argument('--out', default='curve.json')
+    p.add_argument('--ckpt', default=None,
+                   help='directory (orbax) or .npz file for the final state '
+                        '(last seed)')
+    p.add_argument('--log-every', type=int, default=50)
+    args = p.parse_args()
+
+    runs = []
+    ts = None
+    for seed in args.seeds:
+        ts, curve = run_seed(args, seed)
+        tail = [c['eval_return'] for c in curve
+                if c['update'] >= args.updates - args.final_window]
+        runs.append({
+            'seed': seed,
+            'first_eval_return': curve[0]['eval_return'],
+            'best_eval_return': max(c['eval_return'] for c in curve),
+            'final_eval_return': curve[-1]['eval_return'],
+            'final_window_mean': float(np.mean(tail)),
+            'final_window_min': float(np.min(tail)),
+            'curve': curve,
+        })
+        print('seed %d: first %.1f  best %.1f  final-window mean %.1f '
+              'min %.1f' % (seed, runs[-1]['first_eval_return'],
+                            runs[-1]['best_eval_return'],
+                            runs[-1]['final_window_mean'],
+                            runs[-1]['final_window_min']))
+
+    finals = [r['final_window_mean'] for r in runs]
+    summary = {
+        'env': args.env,
+        'seeds': args.seeds,
+        'env_steps_per_seed': args.updates * args.envs * args.rollout,
+        'config': {'updates': args.updates, 'envs': args.envs,
+                   'rollout': args.rollout, 'lr': args.lr,
+                   'entropy': args.entropy,
+                   'final_window': args.final_window},
+        'final_window_mean_across_seeds': float(np.mean(finals)),
+        'final_window_spread': [float(np.min(finals)), float(np.max(finals))],
+        'runs': runs,
+    }
+    with open(args.out, 'w') as f:
+        json.dump(summary, f, indent=1)
+    print('wrote %s   final-window mean across seeds: %.1f  spread '
+          '[%.1f, %.1f]' % (args.out,
+                            summary['final_window_mean_across_seeds'],
+                            *summary['final_window_spread']))
+
+    if args.ckpt and ts is not None:
+        checkpoint.save(args.ckpt, ts)
+        print('checkpoint saved to', args.ckpt)
+
+
+if __name__ == '__main__':
+    main()
