@@ -57,6 +57,7 @@ class GymCopterEnv(gym.Env):
         self._dtype = dtype
         self._state: Optional[EnvState] = None
         self._episode = 0
+        self._initial_altitude: Optional[float] = None
         self.viewer = None
         self.pose = None
         self.done = False
@@ -70,14 +71,12 @@ class GymCopterEnv(gym.Env):
         self.STATE_NAMES = _state_names(spec)
         self.FRAMES_PER_SECOND = int(round(1.0 / self._env.params.task.dt))
 
-    # -- reference `_Task.set_altitude` (task.py:67-69)
+    # -- reference `_Task.set_altitude` (task.py:67-69): stores the start
+    # altitude used by subsequent resets.  Implemented as a reset-time pose
+    # override rather than rebuilding the env handle, so calling it
+    # per-episode (like the attic scripts do) never re-jits anything.
     def set_altitude(self, altitude):
-        task = self._env.params.task._replace(initial_altitude=altitude)
-        params = self._env.params._replace(task=task)
-        env = registry.CopterEnv(self._env.spec, params=params,
-                                 num_envs=1, dtype=self._dtype)
-        env.base_key = self._env.base_key
-        self._env = env
+        self._initial_altitude = float(altitude)
 
     def seed(self, seed=None):
         """Reference `_Task.seed` (task.py:71-75): seeds global np.random
@@ -86,8 +85,20 @@ class GymCopterEnv(gym.Env):
         return [seed]
 
     def reset(self, seed=None, options=None, pose=None, perturb=True):
-        if seed is not None and self._legacy_seeding:
-            np.random.seed(seed)
+        super().reset(seed=seed)   # seeds gymnasium's np_random per the API
+        if seed is not None:
+            if self._legacy_seeding:
+                np.random.seed(seed)
+            else:
+                # gymnasium determinism contract: reset(seed=s) must make
+                # the episode reproducible — rekey the perturbation stream
+                # and restart the episode index (no re-jit: the key is a
+                # runtime argument of the compiled reset)
+                import jax
+                self._env.base_key = jax.random.PRNGKey(seed)
+                self._episode = 0
+        if pose is None and self._initial_altitude is not None:
+            pose = (0.0, 0.0, self._initial_altitude, 0.0, 0.0)
 
         perturb_force = None
         if not perturb:
@@ -107,7 +118,9 @@ class GymCopterEnv(gym.Env):
         return np.asarray(obs[:, 0], np.float32), {}
 
     def step(self, action):
-        action = jnp.asarray(np.asarray(action, np.float32)[:, None],
+        # keep full precision until the env-dtype cast (a float32 detour
+        # would break the float64 legacy bit-replay)
+        action = jnp.asarray(np.asarray(action, np.float64)[:, None],
                              self._dtype)
         self._state, ts = self._env.step(self._state, action)
         self.done = bool(ts.done[0])

@@ -51,12 +51,16 @@ def main():
     p.add_argument('--seeds', type=int, nargs='+', default=[0, 1, 2])
     p.add_argument('--rollout', type=int, default=128)
     p.add_argument('--lr', type=float, default=1e-3)
+    # defaults = the validated stable recipe (round-2 probe sweep): linear
+    # LR annealing + gamma 0.995 + 128-wide MLP converges Hover3D to the
+    # 999-step cap and STAYS there; the round-1 collapse traced to
+    # exploration-std inflation + the shorter 0.99 horizon
     p.add_argument('--entropy', type=float, default=0.0)
-    p.add_argument('--gamma', type=float, default=0.99)
+    p.add_argument('--gamma', type=float, default=0.995)
     p.add_argument('--value-clip', type=float, default=0.2)
     p.add_argument('--log-std-max', type=float, default=0.5)
     p.add_argument('--no-anneal', action='store_true')
-    p.add_argument('--hidden', type=int, default=64)
+    p.add_argument('--hidden', type=int, default=128)
     p.add_argument('--final-window', type=int, default=300,
                    help='updates at the tail over which "final" is averaged')
     p.add_argument('--out', default='curve.json')
