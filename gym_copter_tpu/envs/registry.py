@@ -115,17 +115,31 @@ class CopterEnv:
         """Run `num_steps` auto-resetting steps with a constant action as
         ONE Pallas kernel launch (ops/pallas_rollout.py) — the
         speed-of-light path (~20x the scan rollout on a v5e chip).  Falls
-        back to the XLA scan for task kinds outside the fused family
-        (Target) or non-tile-aligned batches.  Returns (EnvState, totals)
-        with totals = {'reward_sum': (B,), 'episodes': (B,)}."""
+        back to the XLA scan — with a logged warning, since that path is
+        ~20x slower — when the batch is not a multiple of 128 lanes (every
+        task kind is in the fused family).  Returns (EnvState, totals) with
+        totals = {'reward_sum': (B,), 'episodes': (B,), 'path':
+        'fused'|'scan'} so callers can assert which path executed."""
         from gym_copter_tpu.ops import pallas_rollout as pr
 
         if (pr.supports(self.params, self.spec)
                 and self.num_envs % pr.LANES == 0):
-            return pr.fused_rollout(state, action, num_steps, self.params,
-                                    self.spec, seed=seed)
-        return pr.scan_rollout(state, action, self.base_key, self.env_ids,
-                               num_steps, self.params, self.spec)
+            state, totals = pr.fused_rollout(state, action, num_steps,
+                                             self.params, self.spec,
+                                             seed=seed)
+            totals['path'] = 'fused'
+            return state, totals
+        import logging
+        logging.getLogger(__name__).warning(
+            'fused_rollout: task %s with batch %d fell back to the XLA scan '
+            'path (~20x slower); use a batch that is a multiple of %d to '
+            'engage the fused kernel', self.spec.name, self.num_envs,
+            pr.LANES)
+        state, totals = pr.scan_rollout(state, action, self.base_key,
+                                        self.env_ids, num_steps,
+                                        self.params, self.spec)
+        totals['path'] = 'scan'
+        return state, totals
 
     def run_episode(self, state: EnvState, actions):
         """Step through a pre-scripted action sequence (T, A, B) as one

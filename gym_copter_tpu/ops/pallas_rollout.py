@@ -261,12 +261,22 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
             shaping = jnp.sqrt(y0 * y0 + y2 * y2)
             reward = shaping - pshape
             done = jnp.zeros(shape, bool)
+        elif kind == 'target':
+            # reward stubbed 0 (attic target.py:50-51); the step-indexed
+            # moving-target track lives only in the observation, which the
+            # constant-action rollout never materializes
+            shaping = jnp.zeros_like(pshape)
+            reward = jnp.zeros_like(pshape)
+            done = jnp.zeros(shape, bool)
         else:  # hover: +1 per surviving step
             shaping = jnp.zeros_like(pshape)
             reward = jnp.ones_like(pshape)
             done = jnp.zeros(shape, bool)
 
-        if spec.termination == 'standard':
+        if spec.termination == 'crash_only':
+            # post-step status (base.py:316-317, attic target.py:41-42)
+            done = done | (status_n == C.STATUS_CRASHED)
+        elif spec.termination == 'standard':
             # --- standard termination (base.py:304-321) ---
             oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
             tilt = ((jnp.abs(y6) >= t.max_angle)
@@ -364,13 +374,14 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
 
 
 def supports(params: EnvParams, spec: TaskSpec) -> bool:
-    """Whether the fused kernel covers this task configuration.  Only the
-    'target' kind is excluded (its observation carries a step-indexed
-    moving-target track rather than state slices, and its reward is a
-    stub — attic target.py:44-51)."""
+    """Whether the fused kernel covers this task configuration — the whole
+    task family, Lander/Hover 1D/2D/3D plus AltHold/Takeoff/Distance/Target.
+    (Target's moving-target track lives only in the observation, which the
+    constant-action rollout never materializes, so in-kernel it reduces to
+    crash-only termination + zero reward — attic target.py:44-51.)"""
     return (spec.kind in ('lander', 'hover', 'althold', 'takeoff',
-                          'distance')
-            and spec.termination in ('standard', 'none')
+                          'distance', 'target')
+            and spec.termination in ('standard', 'none', 'crash_only')
             and spec.action_mode in ('clip01', 'rescale01', 'raw'))
 
 

@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency harness (BASELINE.md "≥90% scaling efficiency").
+
+Measures what THIS rig can honestly measure (one real TPU chip, 2 CPU
+cores) and records it in one JSON report:
+
+  1. tpu_mesh_overhead — the fused Pallas rollout COMPILED through Mosaic
+     under `shard_map` on a 1-device TPU mesh vs the unsharded kernel:
+     the per-chip efficiency of the multi-chip production path (the mesh
+     machinery, partitioner, and kernel-under-shard_map cost — everything
+     except the ICI itself, which needs >1 chip).
+  2. cpu_weak_scaling — the jitted scan path on a virtual CPU mesh at a
+     fixed per-device batch, 1 -> 2 devices (this host has exactly 2
+     physical cores, so 2 virtual devices is the largest honest weak-scaling
+     point; beyond that, virtual devices timeshare cores and the numbers
+     would measure the scheduler, not the sharding).
+  3. multiprocess_loopback — 2-process `jax.distributed` world over
+     loopback (scripts/launch_multihost.py), the DCN code path.
+
+Each sub-measurement runs in its own subprocess because the platform and
+virtual-device count must be fixed before JAX initializes.
+
+Usage: python scripts/bench_scaling.py [--out docs/scaling.json]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.append(REPO)
+
+B_PER_DEV_TPU = 4096
+B_PER_DEV_CPU = 1024
+T_LO_TPU, T_HI_TPU = 20_000, 120_000
+T_LO_CPU, T_HI_CPU = 200, 1200
+
+
+def _mode_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from gym_copter_tpu.core import vehicles
+    from gym_copter_tpu.core.types import EnvParams
+    from gym_copter_tpu.envs import base, tasks
+    from gym_copter_tpu.ops import pallas_rollout as pr
+    from gym_copter_tpu.parallel import sharding as sh
+    from gym_copter_tpu.utils import profiling
+
+    assert jax.default_backend() == 'tpu', 'tpu mode needs the TPU backend'
+    params = EnvParams(vehicle=vehicles.DJI_PHANTOM)
+    spec = tasks.LANDER_3D
+    key = jax.random.PRNGKey(0)
+    b = B_PER_DEV_TPU
+    env_ids = jnp.arange(b, dtype=jnp.int32)
+    state, _ = base.reset(key, env_ids, jnp.zeros(b, jnp.int32), params, spec)
+    action = jnp.full((4, b), 1.625e-2, jnp.float32)
+
+    mesh = sh.make_mesh(jax.devices()[:1])
+    sharded_state = sh.shard_env_state(state, mesh)
+    sharded_action = sh.shard_env_state(action, mesh)
+
+    def run_plain(n):
+        _, tot = pr.fused_rollout(state, action, n, params, spec)
+        return float(tot['reward_sum'][0])
+
+    def run_sharded(n):
+        _, tot = sh.sharded_fused_rollout(
+            sharded_state, sharded_action, n, params, spec, mesh,
+            interpret=False)                     # compiled Mosaic
+        return float(tot['reward_sum'][0])
+
+    # correctness: identical episode counts through both paths
+    _, tp = pr.fused_rollout(state, action, 5000, params, spec)
+    _, ts_ = sh.sharded_fused_rollout(sharded_state, sharded_action, 5000,
+                                      params, spec, mesh, interpret=False)
+    import numpy as np
+    np.testing.assert_array_equal(np.asarray(tp['episodes']),
+                                  np.asarray(ts_['episodes']))
+
+    plain = profiling.differential_steps_per_sec(
+        run_plain, T_LO_TPU, T_HI_TPU, batch=b, reps=6)
+    sharded = profiling.differential_steps_per_sec(
+        run_sharded, T_LO_TPU, T_HI_TPU, batch=b, reps=6)
+    print(json.dumps({
+        'plain_steps_per_sec': plain['steps_per_sec'],
+        'sharded_1dev_steps_per_sec': sharded['steps_per_sec'],
+        'efficiency': sharded['steps_per_sec'] / plain['steps_per_sec'],
+    }))
+
+
+def _mode_cpu(n_devices):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+    import jax.numpy as jnp
+
+    from gym_copter_tpu.core import vehicles
+    from gym_copter_tpu.core.types import EnvParams
+    from gym_copter_tpu.envs import base, tasks
+    from gym_copter_tpu.ops import pallas_rollout as pr
+    from gym_copter_tpu.parallel import sharding as sh
+    from gym_copter_tpu.utils import profiling
+
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (len(devices), n_devices)
+    mesh = sh.make_mesh(devices[:n_devices])
+
+    params = EnvParams(vehicle=vehicles.DJI_PHANTOM)
+    spec = tasks.LANDER_3D
+    key = jax.random.PRNGKey(0)
+    b = B_PER_DEV_CPU * n_devices
+    env_ids = jnp.arange(b, dtype=jnp.int32)
+    state, _ = base.reset(key, env_ids, jnp.zeros(b, jnp.int32), params, spec)
+    action = jnp.full((4, b), 1.625e-2, jnp.float32)
+    state = sh.shard_env_state(state, mesh)
+    action = sh.shard_env_state(action, mesh)
+    env_ids = sh.shard_env_state(env_ids, mesh)
+
+    def run(n):
+        _, tot = pr.scan_rollout(state, action, key, env_ids, n, params,
+                                 spec)
+        return float(tot['reward_sum'][0])
+
+    res = profiling.differential_steps_per_sec(
+        run, T_LO_CPU, T_HI_CPU, batch=b, reps=4)
+    print(json.dumps({'devices': n_devices,
+                      'steps_per_sec': res['steps_per_sec'],
+                      'per_device': res['steps_per_sec'] / n_devices}))
+
+
+def _sub(args, extra_env=None):
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    if extra_env:
+        env.update(extra_env)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                         env=env, capture_output=True, text=True,
+                         timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f'{args}: {out.stderr[-2000:]}')
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def orchestrate(out_path):
+    report = {'host_physical_cores': os.cpu_count()}
+
+    # 1. real-TPU shard_map overhead (skipped off-TPU)
+    try:
+        report['tpu_mesh_overhead'] = _sub(['--mode', 'tpu'])
+    except (RuntimeError, Exception) as e:  # noqa: BLE001
+        report['tpu_mesh_overhead'] = {'error': str(e)[-500:]}
+
+    # 2. CPU weak scaling, 1 -> 2 devices (= physical cores)
+    cpu = []
+    for n in (1, 2):
+        cpu.append(_sub(
+            ['--mode', 'cpu', '--devices', str(n)],
+            {'XLA_FLAGS': f'--xla_force_host_platform_device_count={n}',
+             'JAX_PLATFORMS': 'cpu'}))
+    base_rate = cpu[0]['per_device']
+    for row in cpu:
+        row['efficiency'] = row['per_device'] / base_rate
+    report['cpu_weak_scaling'] = cpu
+    report['cpu_weak_scaling_note'] = (
+        'capped at 2 virtual devices = physical cores; beyond that virtual '
+        'devices timeshare cores and the ratio measures the OS scheduler')
+
+    # 3. 2-process jax.distributed world over loopback
+    try:
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            mh_out = os.path.join(td, 'mh.json')
+            procs = []
+            port = 24000 + os.getpid() % 2000
+            for pid in range(2):
+                cmd = [sys.executable,
+                       os.path.join(REPO, 'scripts', 'launch_multihost.py'),
+                       '--num-processes', '2', '--process-id', str(pid),
+                       '--coordinator', f'localhost:{port}',
+                       '--platform', 'cpu', '--envs-per-host', '512',
+                       '--updates', '5']
+                if pid == 0:
+                    cmd += ['--out', mh_out]
+                env = dict(os.environ)
+                env.pop('XLA_FLAGS', None)
+                procs.append(subprocess.Popen(cmd, env=env,
+                                              stdout=subprocess.DEVNULL,
+                                              stderr=subprocess.DEVNULL))
+            for pr_ in procs:
+                assert pr_.wait(timeout=900) == 0
+            with open(mh_out) as f:
+                report['multiprocess_loopback'] = json.load(f)
+    except Exception as e:  # noqa: BLE001
+        report['multiprocess_loopback'] = {'error': str(e)[-500:]}
+
+    with open(out_path, 'w') as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--mode', default=None, choices=[None, 'tpu', 'cpu'])
+    p.add_argument('--devices', type=int, default=1)
+    p.add_argument('--out', default=os.path.join(REPO, 'docs',
+                                                 'scaling.json'))
+    args = p.parse_args()
+    if args.mode == 'tpu':
+        _mode_tpu()
+    elif args.mode == 'cpu':
+        _mode_cpu(args.devices)
+    else:
+        orchestrate(args.out)
+
+
+if __name__ == '__main__':
+    main()

@@ -130,26 +130,38 @@ def test_lander1d_mix_parity():
 
 
 def test_unsupported_spec_raises():
+    bogus = tasks.TARGET._replace(kind='nope')
     with pytest.raises(ValueError, match='fused-kernel family'):
         state, _ = base.reset(jax.random.PRNGKey(0),
                               jnp.arange(B, dtype=jnp.int32),
                               jnp.zeros(B, jnp.int32),
                               _params(), tasks.TARGET)
-        pr.fused_rollout(state, jnp.zeros((4, B)), 10, _params(),
-                         tasks.TARGET)
+        pr.fused_rollout(state, jnp.zeros((4, B)), 10, _params(), bogus)
 
 
 @pytest.mark.parametrize('spec_name,action', [
     ('ALTHOLD', [0.1]),        # rescale01, holds near 10 m
     ('TAKEOFF', [0.02] * 4),   # raw motors, grounded start
     ('DISTANCE', [0.02] * 4),  # raw motors, shaping delta
+    ('TARGET', [0.0] * 4),     # rescale01 -> motors 0.5, climbs, step cap
 ])
 def test_aux_task_parity(spec_name, action):
-    """AltHold / Takeoff / Distance kinds through the fused kernel:
-    bit-exact against the XLA scan path (deterministic mode)."""
+    """AltHold / Takeoff / Distance / Target kinds through the fused
+    kernel: bit-exact against the XLA scan path (deterministic mode)."""
     spec = getattr(tasks, spec_name)
     fused, scan = _run_both(spec, _params(max_steps=80), action, 200)
     _assert_match(fused, scan, spec_name.lower())
+
+
+def test_target_crash_only_termination_parity():
+    """Target crash path: free fall from 8 m hits the ground with dz > 1 ->
+    STATUS_CRASHED -> crash_only done -> auto-reset to the grounded start
+    (attic target.py:41-42 semantics)."""
+    fused, scan = _run_both(tasks.TARGET, _params(max_steps=900),
+                            [-1.0] * 4, 250, pose=(0.0, 0.0, 8.0, 0.0, 0.0))
+    _assert_match(fused, scan, 'target-crash')
+    _, ft = fused
+    assert int(jnp.min(ft['episodes'])) >= 1
 
 
 def test_batch_must_tile():
@@ -228,7 +240,8 @@ def test_random_reset_mode_tpu():
 
 def test_copter_env_fused_rollout_handle():
     """Public handle path: env.fused_rollout dispatches to the kernel for
-    supported tasks and to the XLA scan for the rest (Target)."""
+    every task kind (Target included) and reports which path executed; a
+    non-tile-aligned batch falls back to the XLA scan with path='scan'."""
     import gym_copter_tpu as gct
 
     env = gct.make('Hover3D-v0', num_envs=B,
@@ -236,9 +249,16 @@ def test_copter_env_fused_rollout_handle():
     state, _ = env.reset()
     action = jnp.full((4, B), 1.66e-2, jnp.float32)
     state2, tot = env.fused_rollout(state, action, 90)
+    assert tot['path'] == 'fused'
     assert int(jnp.min(tot['episodes'])) >= 2   # 30-step cap, 90 steps
-    # unsupported kind falls back without error
-    tenv = gct.make('Target-v0', num_envs=16, params=_params(max_steps=30))
+    # Target is in the fused family now
+    tenv = gct.make('Target-v0', num_envs=B, params=_params(max_steps=30))
     ts_, _ = tenv.reset()
-    _, ttot = tenv.fused_rollout(ts_, jnp.zeros((4, 16)), 40)
-    assert ttot['episodes'].shape == (16,)
+    _, ttot = tenv.fused_rollout(ts_, jnp.zeros((4, B)), 40)
+    assert ttot['path'] == 'fused'
+    # non-tile-aligned batch -> scan fallback, surfaced in totals
+    senv = gct.make('Hover3D-v0', num_envs=16, params=_params(max_steps=30))
+    ss_, _ = senv.reset()
+    _, stot = senv.fused_rollout(ss_, jnp.full((4, 16), 1.66e-2), 40)
+    assert stot['path'] == 'scan'
+    assert stot['episodes'].shape == (16,)
