@@ -16,6 +16,12 @@ Usage:
   python lander_demo.py --movie              # save movie.mp4
   python lander_demo.py --nodisplay          # headless: just print stats
   python lander_demo.py --random --seed 7    # random motor values
+  python lander_demo.py --freeze 2,1,8,10,0  # hold pose x,y,z,phi,theta
+                                             # (reference demo_pose,
+                                             # gym_copter/envs/lander.py:79-91)
+  python lander_demo.py --vision             # downward-camera view per step
+  python lander_demo.py --dvs                # event-camera view per step
+                                             # (attic/mars/lander3d.py:112-140)
 """
 
 import argparse
@@ -50,10 +56,24 @@ def main():
     parser.add_argument('--seed', type=int, default=0, help='Random seed')
     parser.add_argument('--nodisplay', action='store_true',
                         help='Run headless (no rendering)')
+    parser.add_argument('--freeze', dest='pose', default=None,
+                        help='Freeze in pose x,y,z,phi,theta (no physics)')
+    sensors = parser.add_mutually_exclusive_group()
+    sensors.add_argument('--vision', action='store_true',
+                         help='Show the downward vision-sensor view')
+    sensors.add_argument('--dvs', action='store_true',
+                         help='Show the DVS event-camera view')
+    parser.add_argument('--res', type=int, default=64,
+                        help='Vision/DVS sensor resolution')
     args = parser.parse_args()
 
     env = gct.make('Lander-v0', num_envs=1, seed=args.seed)
     dt = env.params.task.dt
+
+    if args.pose is not None:
+        freeze_pose(env, args)
+        return
+
     state, obs = env.reset()
 
     # Pre-script the action sequence, then run the whole episode as ONE
@@ -91,7 +111,9 @@ def main():
                    'Phi', 'dPhi', 'Theta', 'dTheta'])
         print('saved', args.csvfilename)
 
-    if not args.nodisplay or args.movie:
+    if args.vision or args.dvs:
+        show_sensor_view(pose_log, args, dt)
+    elif not args.nodisplay or args.movie:
         from gym_copter_tpu.render.threed import ThreeDLanderRenderer
         renderer = ThreeDLanderRenderer(
             viewangles=parse_view_angles(args.view),
@@ -99,6 +121,88 @@ def main():
         renderer.play(pose_log, fps=int(round(1 / dt)),
                       outfile='movie.mp4' if args.movie else None,
                       show=not args.nodisplay)
+
+
+def freeze_pose(env, args):
+    """Reference `demo_pose` freeze mode (gym_copter/envs/lander.py:79-91):
+    reset to the given pose with no perturbation and hold it — a static
+    pose viewer for checking vehicle orientation in the renderer."""
+    try:
+        x, y, z, phi, theta = (float(s) for s in args.pose.split(','))
+    except ValueError:
+        raise SystemExit('POSE must be x,y,z,phi,theta')
+    state, obs = env.reset(pose=(x, y, z, phi, theta),
+                           perturb_force=np.zeros((6, 1)))
+    pose = np.asarray(state.dyn.x[(0, 2, 4, 6, 8, 10), 0])
+    print('frozen pose (x, y, z, phi, theta, psi):',
+          np.array2string(pose, precision=3))
+    if not args.nodisplay or args.movie:
+        from gym_copter_tpu.render.threed import ThreeDLanderRenderer
+        renderer = ThreeDLanderRenderer(
+            viewangles=parse_view_angles(args.view),
+            target_radius=env.params.reward.target_radius)
+        # hold the pose for 2 s of animation frames
+        renderer.play(np.tile(pose, (200, 1)), fps=100,
+                      outfile='movie.mp4' if args.movie else None,
+                      show=not args.nodisplay)
+
+
+def show_sensor_view(pose_log, args, dt):
+    """Replay the trajectory through the vision / DVS sensor
+    (attic/mars/lander3d.py --vision/--dvs flags; sensor math in
+    gym_copter_tpu/sensors/vision.py)."""
+    from gym_copter_tpu.sensors.vision import DVS, VisionSensor
+
+    # pose_log is (T, 6) NED; the sensor wants (6, B) with positive
+    # altitude and degree angles
+    x12 = np.zeros((12, len(pose_log)), np.float32)
+    x12[(0, 2, 4, 6, 8, 10), :] = pose_log.T
+
+    if args.dvs:
+        sensor = DVS(res=args.res)
+        poses = sensor.pose_from_state(jnp.asarray(x12))
+        frames_curr = np.asarray(sensor.get_images(poses))
+        prev = np.concatenate([np.zeros_like(frames_curr[:1]),
+                               frames_curr[:-1]])
+        frames = np.sign(prev - frames_curr)
+        events = int(np.abs(frames).sum())
+        print(f'DVS: {len(frames)} frames, {events} events')
+    else:
+        sensor = VisionSensor(res=args.res)
+        poses = sensor.pose_from_state(jnp.asarray(x12))
+        frames = np.asarray(sensor.get_images(poses))
+        print(f'vision: {len(frames)} frames, '
+              f'{int(frames.sum())} lit pixels total')
+
+    if args.nodisplay and not args.movie:
+        return
+    import matplotlib
+    if args.nodisplay:
+        matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+
+    fig, ax = plt.subplots()
+    ax.set_axis_off()
+    kind = 'DVS events' if args.dvs else 'vision'
+    ax.set_title(f'downward {kind} view')
+    im = ax.imshow(frames[0], cmap='RdGy' if args.dvs else 'gray',
+                   vmin=-1 if args.dvs else 0, vmax=1)
+
+    def animate(i):
+        im.set_data(frames[min(i, len(frames) - 1)])
+        return [im]
+
+    anim = animation.FuncAnimation(fig, animate, frames=len(frames),
+                                   interval=1000 * dt, blit=True,
+                                   repeat=False)
+    if args.movie:
+        out = 'sensor.mp4' if animation.FFMpegWriter.isAvailable() \
+            else 'sensor.gif'
+        anim.save(out, fps=int(round(1 / dt)))
+        print('saved', out)
+    if not args.nodisplay:
+        plt.show()
 
 
 if __name__ == '__main__':
