@@ -25,7 +25,14 @@ Usage:
 """
 
 import argparse
+import os
 from argparse import ArgumentDefaultsHelpFormatter
+
+# honor GCT_PLATFORM=cpu even where sitecustomize forces a TPU platform
+# (jax.config.update works until the backend is first used)
+if os.environ.get('GCT_PLATFORM'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['GCT_PLATFORM'])
 
 import numpy as np
 

@@ -35,6 +35,7 @@ def run_seed(args, seed):
                         value_clip=args.value_clip,
                         log_std_max=args.log_std_max,
                         log_std_min=args.log_std_min,
+                        anneal_lr_floor=args.anneal_floor,
                         anneal_lr=not args.no_anneal,
                         hidden=args.hidden)
     ts, history = ppo.train(args.env, num_envs=args.envs,
@@ -62,6 +63,7 @@ def main():
     p.add_argument('--log-std-max', type=float, default=0.5)
     p.add_argument('--log-std-min', type=float, default=-4.0)
     p.add_argument('--no-anneal', action='store_true')
+    p.add_argument('--anneal-floor', type=float, default=0.05)
     p.add_argument('--hidden', type=int, default=128)
     p.add_argument('--final-window', type=int, default=300,
                    help='updates at the tail over which "final" is averaged')

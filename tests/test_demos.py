@@ -15,11 +15,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(script, *args, timeout=600):
     env = dict(os.environ)
     env.pop('XLA_FLAGS', None)
-    env['JAX_PLATFORMS'] = 'cpu'
+    # the container's sitecustomize may force a TPU platform and overrides
+    # JAX_PLATFORMS; the demo scripts honor GCT_PLATFORM explicitly
+    env['GCT_PLATFORM'] = 'cpu'
     env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
-    # the container may force a TPU platform via sitecustomize; demos must
-    # still run there, but CI wants the CPU path — strip the override hook
-    env['PYTHONSTARTUP'] = ''
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, script), '--nodisplay', *args],
         env=env, capture_output=True, text=True, timeout=timeout, cwd=REPO)
