@@ -64,6 +64,14 @@ class PPOConfig(NamedTuple):
     log_std_max: float = 0.5
     anneal_lr: bool = True
     anneal_lr_floor: float = 0.05
+    # trust-region guard: once the mean approx-KL of an epoch's minibatches
+    # exceeds this, the remaining epochs of the update are skipped (their
+    # gradients are computed but masked to zero — scan-friendly early
+    # stopping).  0 disables.  This is the main defense against the
+    # slow late-training policy drift that LR annealing alone leaves:
+    # even at small LR, Adam renormalizes gradient scale, so thousands of
+    # tail updates can still walk the policy off a good optimum.
+    target_kl: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -238,10 +246,13 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             v_loss = 0.5 * jnp.mean((value - target) ** 2)
         entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
         loss = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
-        return loss, (pg_loss, v_loss, entropy)
+        # approx_kl: E[ratio - 1 - log(ratio)] (the low-variance k3
+        # estimator) — drives the target_kl trust-region guard
+        approx_kl = jnp.mean((ratio - 1.0) - (log_prob - old_log_prob))
+        return loss, (pg_loss, v_loss, entropy, approx_kl)
 
     def update_epoch(carry, _):
-        params, opt_state, key, flat = carry
+        params, opt_state, key, stop, flat = carry
         obs, action, old_lp, old_v, adv, tgt = flat
         n = obs.shape[-1]
         key, sub = jax.random.split(key)
@@ -254,14 +265,25 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             grads, aux = jax.grad(loss_fn, has_aux=True)(
                 params, obs[:, idx], action[:, idx], old_lp[idx],
                 old_v[idx], adv[idx], tgt[idx])
-            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates, opt_state0 = optimizer.update(grads, opt_state, params)
+            if cfg.target_kl > 0:
+                # masked early stop: once the guard has tripped, later
+                # minibatches/epochs become no-ops (scan needs static
+                # structure, so the gradient is computed then discarded)
+                updates = jax.tree.map(
+                    lambda u: jnp.where(stop, jnp.zeros_like(u), u), updates)
+                opt_state0 = jax.tree.map(
+                    lambda new, old: jnp.where(stop, old, new),
+                    opt_state0, opt_state)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), aux
+            return (params, opt_state0), aux
 
         (params, opt_state), aux = jax.lax.scan(
             update_minibatch, (params, opt_state),
             jnp.arange(cfg.minibatches))
-        return (params, opt_state, key, flat), aux
+        if cfg.target_kl > 0:
+            stop = stop | (jnp.mean(aux[3]) > cfg.target_kl)
+        return (params, opt_state, key, stop, flat), aux
 
     def train_step(ts: TrainState):
         env_state, obs, key, traj = rollout(ts.params, ts.env_state, ts.obs,
@@ -279,8 +301,9 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
         flat = (flat3(traj.obs), flat3(traj.action), flat2(traj.log_prob),
                 flat2(traj.value), flat2(adv), flat2(target))
 
-        (params, opt_state, key, _), aux = jax.lax.scan(
-            update_epoch, (ts.params, ts.opt_state, key, flat), None,
+        stop0 = jnp.zeros((), bool)
+        (params, opt_state, key, _, _), aux = jax.lax.scan(
+            update_epoch, (ts.params, ts.opt_state, key, stop0, flat), None,
             length=cfg.epochs)
 
         metrics = {
@@ -290,6 +313,7 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             'pg_loss': aux[0].mean(),
             'v_loss': aux[1].mean(),
             'entropy': aux[2].mean(),
+            'approx_kl': aux[3].mean(),
         }
         new_ts = TrainState(params=params, opt_state=opt_state,
                             env_state=env_state, obs=obs, key=key,
@@ -349,7 +373,7 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
           num_updates: int = 200, seed: int = 0,
           cfg: PPOConfig = PPOConfig(), env_params: EnvParams = None,
           mesh=None, log_every: int = 10, callback=None,
-          rollout_mode: str = 'auto'):
+          rollout_mode: str = 'auto', keep_best: bool = False):
     """Host-side training loop (convenience wrapper; the real work is the
     jitted train_step).  If `mesh` is given, env state is sharded along the
     batch axis and params replicated before stepping.  rollout_mode='fused'
@@ -412,11 +436,16 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
     else:
         evaluate = make_eval_fn(env_params, spec, cfg)
     history = []
+    best_eval, best_params = -float('inf'), None
     for i in range(num_updates):
         ts, metrics = step(ts)
         if i % log_every == 0 or i == num_updates - 1:
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics['eval_return'] = float(evaluate(ts.params)[0])
+            if keep_best and metrics['eval_return'] > best_eval:
+                best_eval = metrics['eval_return']
+                best_params = jax.tree.map(
+                    lambda x: jnp.array(x, copy=True), ts.params)
             history.append((i, metrics))
             if callback:
                 callback(i, metrics)
@@ -424,4 +453,10 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
                 print(f'update {i:4d}  eval_return {metrics["eval_return"]:8.2f}  '
                       f'reward/step {metrics["reward_per_step"]:7.4f}  '
                       f'done {metrics["done_rate"]:.3f}')
+    if keep_best and best_params is not None:
+        # model selection across eval points: the returned policy is the
+        # best evaluated one, not whatever the last gradient step produced
+        # (standard checkpoint-selection; the curve in `history` still
+        # records the raw trajectory so instability remains visible)
+        ts = ts._replace(params=best_params)
     return ts, history

@@ -37,10 +37,12 @@ def run_seed(args, seed):
                         log_std_min=args.log_std_min,
                         anneal_lr_floor=args.anneal_floor,
                         anneal_lr=not args.no_anneal,
+                        target_kl=args.target_kl,
                         hidden=args.hidden)
     ts, history = ppo.train(args.env, num_envs=args.envs,
                             num_updates=args.updates, seed=seed,
-                            cfg=cfg, log_every=args.log_every)
+                            cfg=cfg, log_every=args.log_every,
+                            keep_best=args.keep_best)
     curve = [{'update': i, **m} for i, m in history]
     return ts, curve
 
@@ -65,6 +67,11 @@ def main():
     p.add_argument('--no-anneal', action='store_true')
     p.add_argument('--anneal-floor', type=float, default=0.05)
     p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--target-kl', type=float, default=0.0,
+                   help='approx-KL trust-region guard (0 disables): skip '
+                        'remaining epochs of an update once exceeded')
+    p.add_argument('--keep-best', action='store_true',
+                   help='returned/checkpointed policy = best evaluated one')
     p.add_argument('--final-window', type=int, default=300,
                    help='updates at the tail over which "final" is averaged')
     p.add_argument('--out', default='curve.json')
@@ -102,7 +109,10 @@ def main():
         'env_steps_per_seed': args.updates * args.envs * args.rollout,
         'config': {'updates': args.updates, 'envs': args.envs,
                    'rollout': args.rollout, 'lr': args.lr,
-                   'entropy': args.entropy,
+                   'entropy': args.entropy, 'gamma': args.gamma,
+                   'target_kl': args.target_kl,
+                   'anneal_floor': args.anneal_floor,
+                   'keep_best': args.keep_best,
                    'final_window': args.final_window},
         'final_window_mean_across_seeds': float(np.mean(finals)),
         'final_window_spread': [float(np.min(finals)), float(np.max(finals))],

@@ -31,7 +31,13 @@ def _setup(log_std, max_steps=40, hidden=16):
     env_params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
                            task=TaskParams(initial_random_force=0.0,
                                            max_steps=max_steps))
-    cfg = ppo.PPOConfig(hidden=hidden, init_log_std=log_std)
+    # widen the clamp window so init_log_std passes through _policy
+    # unclamped (the zero-noise test relies on log_std = -60 staying -60;
+    # the training integration clamps before the kernel, ppo.py train_step)
+    cfg = ppo.PPOConfig(hidden=hidden, init_log_std=log_std,
+                        log_std_min=min(
+                            ppo.PPOConfig._field_defaults['log_std_min'],
+                            log_std))
     params = ppo.init_params(jax.random.PRNGKey(3), spec.obs_size,
                              spec.action_size, cfg)
     key = jax.random.PRNGKey(0)
