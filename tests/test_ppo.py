@@ -98,3 +98,61 @@ def test_lander1d_actually_learns():
     first, best = vals[0], max(vals)
     assert first < -100, f'free-fall baseline should be ~-200, got {first}'
     assert best > 100, f'no learning: best eval {best:.1f} from {first:.1f}'
+
+
+def _one_update_params(target_kl, cfg_kwargs=None, num_envs=16):
+    """Run exactly one train_step from a fixed init; return the params."""
+    from gym_copter_tpu.envs import tasks
+    cfg = ppo.PPOConfig(rollout_steps=8, hidden=16, minibatches=2,
+                        epochs=4, learning_rate=1e-2, anneal_lr=False,
+                        target_kl=target_kl, **(cfg_kwargs or {}))
+    env_ids = jnp.arange(num_envs, dtype=jnp.int32)
+    train_step, opt = ppo.make_train_step(
+        PARAMS, tasks.HOVER_3D, cfg, jax.random.PRNGKey(0), env_ids)
+    ts = ppo.init_train_state(jax.random.PRNGKey(7), PARAMS, tasks.HOVER_3D,
+                              cfg, num_envs, opt)
+    ts2, metrics = jax.jit(train_step)(ts)
+    return ts.params, ts2.params, metrics
+
+
+def test_target_kl_guard_masks_later_epochs():
+    """Trust-region guard semantics (PPOConfig.target_kl): with the
+    threshold set below any achievable KL, only the pre-trip gradient
+    steps apply, so the parameters move strictly less than an unguarded
+    update from the identical state; with an unreachable threshold the
+    masked code path must be a semantic no-op vs target_kl=0 (only
+    ULP-level fusion differences — the added `where`s change how XLA
+    fuses the update arithmetic)."""
+    p0, p_free, m_free = _one_update_params(0.0)
+    _, p_huge, _ = _one_update_params(1e9)     # guard present, never trips
+    _, p_tiny, m_tiny = _one_update_params(1e-12)  # trips after epoch 1
+
+    for a, b in zip(jax.tree.leaves(p_free), jax.tree.leaves(p_huge)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    def dist(a, b):
+        return float(sum(jnp.sum((x - y) ** 2)
+                         for x, y in zip(jax.tree.leaves(a),
+                                         jax.tree.leaves(b))))
+
+    assert np.isfinite(m_tiny['approx_kl'])
+    moved_tiny, moved_free = dist(p_tiny, p0), dist(p_free, p0)
+    assert 0 < moved_tiny < moved_free, (
+        f'guarded update should move less: {moved_tiny} vs {moved_free}')
+
+
+def test_keep_best_returns_best_evaluated_policy():
+    """train(keep_best=True) must hand back the policy whose deterministic
+    eval equals the maximum over the recorded learning curve — checkpoint
+    selection, not last-iterate (VERDICT round-1 item 1/10)."""
+    from gym_copter_tpu.envs import tasks
+    from gym_copter_tpu.envs.registry import default_params
+    cfg = ppo.PPOConfig(rollout_steps=16, hidden=16, learning_rate=3e-3)
+    ts, hist = ppo.train('Hover3D-v0', num_envs=32, num_updates=8, seed=2,
+                         cfg=cfg, log_every=1, keep_best=True,
+                         callback=lambda i, m: None)
+    best_curve = max(m['eval_return'] for _, m in hist)
+    evaluate = ppo.make_eval_fn(default_params(), tasks.HOVER_3D, cfg)
+    got = float(evaluate(ts.params)[0])
+    np.testing.assert_allclose(got, best_curve, rtol=1e-6)
