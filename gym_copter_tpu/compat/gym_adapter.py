@@ -101,7 +101,10 @@ class GymCopterEnv(gym.Env):
             pose = (0.0, 0.0, self._initial_altitude, 0.0, 0.0)
 
         perturb_force = None
-        if not perturb:
+        if not perturb or not self._env.spec.perturb_on_reset:
+            # tasks without the reset wind kick (AltHold/Takeoff/Distance/
+            # Target/Lander3DSimple) must not consume the legacy np.random
+            # stream either — their reference resets never draw from it
             perturb_force = np.zeros((6, 1))
         elif self._legacy_seeding:
             f = self._env.params.task.initial_random_force
@@ -122,13 +125,25 @@ class GymCopterEnv(gym.Env):
         # would break the float64 legacy bit-replay)
         action = jnp.asarray(np.asarray(action, np.float64)[:, None],
                              self._dtype)
+        entry_steps = self._state.steps
         self._state, ts = self._env.step(self._state, action)
         self.done = bool(ts.done[0])
         self.spinning = bool(ts.spinning[0])
         # pose reflects the step's own (terminal) state, not the auto-reset
         # state, matching the reference's post-step pose (task.py:102-103)
         self._update_pose(np.asarray(ts.x[:, 0]))
-        obs = np.asarray(ts.obs[:, 0], np.float32)
+        if self.done:
+            # Gymnasium semantics: step returns the TERMINAL observation
+            # (the reference's task.py:133 returns the final state; reset
+            # starts the next episode).  The batched TimeStep.obs already
+            # belongs to the auto-reset next episode, so re-derive the
+            # terminal obs from the finished step's state.
+            from gym_copter_tpu.envs.base import _get_obs
+            term = _get_obs(ts.x, entry_steps, self._env.params,
+                            self._env.spec)
+            obs = np.asarray(term[:, 0], np.float32)
+        else:
+            obs = np.asarray(ts.obs[:, 0], np.float32)
         return obs, float(ts.reward[0]), self.done, False, {}
 
     def _update_pose(self, x=None):

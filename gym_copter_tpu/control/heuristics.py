@@ -11,6 +11,8 @@ Sources:
   * Lander2D: position + descent -> [h-p, h+p] (attic/heuristic/lander2d.py:15-25);
   * Lander3D: rate+position PIDs + descent -> 4-motor mixer
     [t-r-p, t+r+p, t+r-p, t-r+p] (attic/mars/lander3d.py:64-87);
+  * Lander3DSimple: PD expert in the 3-demand (throttle, roll, pitch)
+    space (attic/gym_copter/envs/simple_lander3d.py:186-211);
   * Hover1D: altitude-hold PID (attic/heuristic/hover1d.py:15-22);
   * Hover2D: rate+position+altitude -> [h-phi, h+phi]
     (attic/heuristic/hover2d.py:17-30);
@@ -129,6 +131,28 @@ def lander3d_pid(batch: int, dtype=jnp.float32, params=None):
     return init, policy_fn
 
 
+def lander3d_simple_pid(batch: int, dtype=jnp.float32, params=None):
+    """The attic simple lander's PD expert: angle targets proportional to
+    horizontal position/velocity, PD on angle error, vertical PD mapped to
+    [0,1] throttle via the +0.5 bias (simple_lander3d.py:186-211).  Acts in
+    the 3-demand (throttle, roll, pitch) space — batched, stateless."""
+    A, B = 0.05, 0.06          # angle target        (simple_lander3d.py:189-190)
+    C, D, E = 0.025, 0.05, 0.4  # angle PD            (:193-195)
+    F, G = 1.15, 1.33          # vertical PD         (:198-199)
+
+    def policy_fn(state, obs):
+        x, dx, y, dy, z, dz = (obs[i] for i in range(6))
+        phi, dphi, theta, dtheta = obs[6], obs[7], obs[8], obs[9]
+        phi_targ = y * A + dy * B
+        phi_todo = (phi - phi_targ) * C + phi * D - dphi * E
+        theta_targ = x * A + dx * B
+        theta_todo = -(theta + theta_targ) * C - theta * D + dtheta * E
+        hover_todo = z * F + dz * G
+        return state, jnp.stack([hover_todo + 0.5, phi_todo, theta_todo])
+
+    return None, policy_fn
+
+
 def hover1d_pid(batch: int, dtype=jnp.float32,
                 target=pid.ALTITUDE_HOLD_TARGET, params=None):
     s = _mixer_scale(params)
@@ -224,6 +248,7 @@ PID_POLICIES = {
     'Lander2D-v0': lander2d_pid,
     'Lander3D-v0': lander3d_pid,
     'Lander-v0': lander3d_pid,
+    'Lander3DSimple-v0': lander3d_simple_pid,
     'Hover1D-v0': hover1d_pid,
     'Hover2D-v0': hover2d_pid,
     'Hover3D-v0': hover3d_pid,

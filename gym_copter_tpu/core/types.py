@@ -74,6 +74,9 @@ class LanderRewardParams(NamedTuple):
     dz_max: float = 10.0
     dz_penalty: float = 100.0
     inside_radius_bonus: float = 100.0
+    # attic simple 3D lander: heavier penalty over roll/pitch angles and
+    # rates, state rows 6:10 (simple_lander3d.py:25-26)
+    pitch_roll_penalty_factor: float = 250.0
 
 
 class EnvParams(NamedTuple):

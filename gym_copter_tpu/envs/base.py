@@ -79,6 +79,13 @@ class TaskSpec(NamedTuple):
     start_altitude: Optional[float] = None
     negate_obs: bool = False
     perturb_on_reset: bool = True
+    # attic "simple" 3D lander extras (attic/gym_copter/envs/simple_lander3d.py):
+    # fixed +offset start on X and Y (INITIAL_RANDOM_OFFSET=2.5 with the
+    # randn factor commented out, :74-76), and a reset that is a REAL
+    # zero-demand step — one dt of free fall before the first observation
+    # (:79 `return self.step(np.array([-1, 0, 0]))[0]`).
+    start_xy_offset: float = 0.0
+    integrate_on_reset: bool = False
 
     @property
     def obs_size(self) -> int:
@@ -131,6 +138,17 @@ def _shaping(x, params: EnvParams, spec: TaskSpec):
                           jnp.asarray(rp.dz_penalty, dtype),
                           jnp.asarray(0.0, dtype))
         return s
+    if spec.kind == 'lander_simple':
+        # -(25·‖state[0:6]‖ + 250·‖state[6:10]‖): one penalty over position
+        # AND velocity, a heavier one over roll/pitch angles and rates; no
+        # dz-excess term and no yaw term (simple_lander3d.py:113-117)
+        rp = params.reward
+        pos = x[0:6]
+        ang = x[6:10]
+        return -(rp.xyz_penalty_factor * jnp.sqrt(jnp.sum(pos * pos, axis=0))
+                 + rp.pitch_roll_penalty_factor
+                 * jnp.sqrt(jnp.sum(ang * ang, axis=0)))
+
     if spec.kind == 'takeoff':
         altitude = -x[C.STATE_Z]
         return -jnp.abs(altitude - jnp.asarray(params.task.takeoff_target,
@@ -164,6 +182,16 @@ def _reward(entry_status, x, prev_shaping, params: EnvParams, spec: TaskSpec):
     if spec.kind in ('takeoff', 'distance'):
         shaping = _shaping(x, params, spec)
         return shaping - prev_shaping, shaping, no_done
+
+    if spec.kind == 'lander_simple':
+        # shaping delta only; the landing bonus is applied AFTER the
+        # out-of-bounds/tilt replacement, matching the simple task's step
+        # order (simple_lander3d.py:121-141) — unlike the active task,
+        # where the bonus precedes the replacement (task.py:102-118).
+        # The episode ends the moment the vehicle is landed.
+        shaping = _shaping(x, params, spec)
+        landed = entry_status == C.STATUS_LANDED
+        return shaping - prev_shaping, shaping, landed
 
     rp = params.reward
     shaping = _shaping(x, params, spec)
@@ -237,7 +265,8 @@ def reset(
     if pose is None:
         altitude = (spec.start_altitude if spec.start_altitude is not None
                     else params.task.initial_altitude)
-        pose = (0.0, 0.0, altitude, 0.0, 0.0)
+        pose = (spec.start_xy_offset, spec.start_xy_offset, altitude,
+                0.0, 0.0)
     x = jnp.zeros((12, b), dtype)
     x = x.at[C.STATE_X].set(jnp.asarray(pose[0], dtype))
     x = x.at[C.STATE_Y].set(jnp.asarray(pose[1], dtype))
@@ -254,6 +283,16 @@ def reset(
 
     dyn = dynamics.init_state(x, dtype=dtype)
     dyn = dynamics.perturb(dyn, forces, params.vehicle)
+
+    if spec.integrate_on_reset:
+        # the attic simple task's reset runs a genuine zero-demand step
+        # (simple_lander3d.py:79): one Euler integration of free fall
+        # before the first observation; shaping is seeded from the
+        # integrated state (prev_shaping set inside that step, :115-120)
+        dyn = dynamics.step(dyn, jnp.zeros((4, b), dtype), params.vehicle,
+                            params.world, params.task.dt,
+                            lift_model=params.lift_model)
+        x = dyn.x
 
     prev_shaping = _shaping(x, params, spec)
     steps = jnp.ones((b,), jnp.int32)
@@ -280,11 +319,18 @@ def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
         motors = jnp.clip(action, 0.0, 1.0)
     elif spec.action_mode == 'rescale01':
         motors = (1.0 + action) / 2.0       # althold.py:38-42, target.py:38-40
+    elif spec.action_mode == 'demand3':
+        # throttle clipped to [0,1] pre-mix; roll/pitch demands stay
+        # signed (simple_lander3d.py:84-87)
+        motors = action.at[0].set(jnp.clip(action[0], 0.0, 1.0))
     else:
         motors = action                     # takeoff.py:67 raw pass-through
     spinning = (~landed) & (jnp.sum(motors, axis=0) > 0)
     mix = jnp.asarray(spec.mix_matrix, x_dtype)
     motors4 = mix @ motors  # (4, B)
+    if spec.action_mode == 'demand3':
+        # the MIXED motor values are clipped to [0,1] (simple_lander3d.py:99)
+        motors4 = jnp.clip(motors4, 0.0, 1.0)
 
     stepped = dynamics.step(state.dyn, motors4, params.vehicle,
                             params.world, params.task.dt,
@@ -312,6 +358,27 @@ def _raw_step(state: EnvState, action, params: EnvParams, spec: TaskSpec):
         # (task.py:111-118)
         reward = jnp.where(oob, reward - penalty,
                            jnp.where(tilt, -penalty, reward))
+        done = done_r | oob | tilt | crashed
+    elif spec.termination == 'simple':
+        # attic simple lander: out-of-bounds AND excess tilt both REPLACE
+        # the reward with -OUT_OF_BOUNDS_PENALTY and terminate
+        # (simple_lander3d.py:124-133 — EXCESS_ANGLE_PENALTY is defined at
+        # :32 but never used); the inside-radius bonus is added AFTERWARDS
+        # on the landed step (:135-141), and a crash terminates silently.
+        oob = ((jnp.abs(x[C.STATE_X]) >= t.bounds)
+               | (jnp.abs(x[C.STATE_Y]) >= t.bounds))
+        tilt = ((jnp.abs(x[C.STATE_PHI]) >= t.max_angle)
+                | (jnp.abs(x[C.STATE_THETA]) >= t.max_angle))
+        crashed = entry_status == C.STATUS_CRASHED
+        penalty = jnp.asarray(t.out_of_bounds_penalty, x_dtype)
+        reward = jnp.where(oob | tilt, -penalty, reward)
+        rp = params.reward
+        landed = entry_status == C.STATUS_LANDED
+        inside = (x[C.STATE_X] ** 2 + x[C.STATE_Y] ** 2
+                  < rp.target_radius ** 2)
+        reward = reward + jnp.where(
+            landed & inside, jnp.asarray(rp.inside_radius_bonus, x_dtype),
+            jnp.asarray(0.0, x_dtype))
         done = done_r | oob | tilt | crashed
     elif spec.termination == 'crash_only':
         done = dyn.status == C.STATUS_CRASHED   # target.py:41-42 (post-step)

@@ -33,7 +33,21 @@ OBS_3D_FULL = tuple(range(12))
 LANDER_1D = TaskSpec('Lander1D', 'lander', OBS_1D, 1, _ONE_MOTOR)
 LANDER_2D = TaskSpec('Lander2D', 'lander', OBS_2D, 2, _TWO_MOTOR)
 LANDER_3D = TaskSpec('Lander3D', 'lander', OBS_3D_LANDER, 4, _IDENTITY4)
-LANDER_3D_SIMPLE = TaskSpec('Lander3DSimple', 'lander', OBS_3D_LANDER, 3, _DEMAND3)
+# The attic "simple" 3D lander is its own variant, not just a mixer change
+# (attic/gym_copter/envs/simple_lander3d.py): throttle demand clipped to
+# [0,1] pre-mix with signed roll/pitch and the MIXED motors clipped (:84-99),
+# shaping -(25·‖state[0:6]‖ + 250·‖state[6:10]‖) (:113-117), out-of-bounds
+# and excess tilt both REPLACING the reward and terminating (:124-133),
+# done the moment the vehicle lands (:135-141), a fixed +2.5 X/Y start
+# offset with no wind kick (:74-76), start altitude 5 (:22), and a reset
+# that is a real zero-demand step (:79).  Runs at 50 Hz on the attic
+# vehicle (see PRESET_PARAMS below); the reference has no step cap — the
+# registry's 1000-step truncation still applies here.
+LANDER_3D_SIMPLE = TaskSpec('Lander3DSimple', 'lander_simple',
+                            OBS_3D_LANDER, 3, _DEMAND3,
+                            action_mode='demand3', termination='simple',
+                            start_altitude=5.0, perturb_on_reset=False,
+                            start_xy_offset=2.5, integrate_on_reset=True)
 HOVER_1D = TaskSpec('Hover1D', 'hover', OBS_1D, 1, _ONE_MOTOR)
 HOVER_2D = TaskSpec('Hover2D', 'hover', OBS_2D, 2, _TWO_MOTOR)
 HOVER_3D = TaskSpec('Hover3D', 'hover', OBS_3D_FULL, 4, _IDENTITY4)
@@ -95,9 +109,22 @@ def _mars_params():
                      lift_model='blade_element')
 
 
+def _simple_lander_params():
+    # 50 Hz (simple_lander3d.py:29) on the attic vehicle — the variant's
+    # dynamics import target (gym_copter.dynamics.djiphantom) is absent
+    # from the reference tree, but its heuristic's throttle bias of +0.5
+    # (simple_lander3d.py:211) only hovers a vehicle with B=5e-6
+    # (hover throttle ~0.52), i.e. the attic DJI Phantom.
+    from gym_copter_tpu.core.types import EnvParams, TaskParams
+    from gym_copter_tpu.core import vehicles
+    return EnvParams(vehicle=vehicles.DJI_PHANTOM_ATTIC,
+                     task=TaskParams(dt=1.0 / 50.0))
+
+
 PRESET_PARAMS = {
     'Lander3DMars-v0': _mars_params,
     'Hover3DMars-v0': _mars_params,
+    'Lander3DSimple-v0': _simple_lander_params,
 }
 ALL_TASKS['Lander3DMars-v0'] = LANDER_3D
 ALL_TASKS['Hover3DMars-v0'] = HOVER_3D

@@ -177,3 +177,25 @@ def test_visual_env_dvs_events():
 def test_registry_ids_all_resolve():
     for name in ALL_IDS:
         assert f'GymCopterTpu/{name}' in gym.registry
+
+
+def test_step_returns_terminal_observation():
+    """Gymnasium contract: on the done step, step() must return the
+    TERMINAL observation (reference task.py:133), not the auto-reset next
+    episode's.  Free-fall the deterministic simple lander into a crash and
+    check the returned obs against the terminal pose."""
+    from gym_copter_tpu.compat.gym_adapter import GymCopterEnv
+    env = GymCopterEnv('Lander3DSimple-v0')
+    obs, _ = env.reset(seed=0)
+    start_z = float(obs[4])
+    for _ in range(600):
+        obs, _, done, _, _ = env.step(np.array([-1.0, 0.0, 0.0]))
+        if done:
+            break
+    assert done, 'free fall should crash'
+    # terminal obs reflects the finished step's state (same as env.pose),
+    # not the fresh start altitude
+    np.testing.assert_allclose(float(obs[4]), float(env.pose[2]), rtol=1e-6)
+    assert abs(float(obs[4]) - start_z) > 1.0, (
+        'done-step obs must not be the auto-reset start state')
+    env.close()
