@@ -232,3 +232,74 @@ def perturb(state: DynamicsState, force, vp: VehicleParams) -> DynamicsState:
     stored as acceleration (force / M), consumed by the next step."""
     force = jnp.asarray(force, state.x.dtype)
     return state._replace(perturb=force / vp.M)
+
+
+# ---------------------------------------------------------------------------
+# Frame-conversion / accessor utility surface of the reference dynamics core
+# (gym_copter/dynamics/__init__.py:199-221, 304-337).  Dead code in the
+# reference's own env flow, but declared API of the dynamics class — provided
+# here as batched pure functions: each angle argument is () or (B,), vectors
+# are (3,) or (3, B), so whole env batches convert in one elementwise fuse.
+# ---------------------------------------------------------------------------
+
+
+def _sincos(phi, theta, psi):
+    """cos/sin of the three Euler angles (reference `_sincos`, :339-350)."""
+    return (jnp.cos(phi), jnp.cos(theta), jnp.cos(psi),
+            jnp.sin(phi), jnp.sin(theta), jnp.sin(psi))
+
+
+def inertial_to_body(inertial, phi, theta, psi):
+    """Rotate an inertial-frame vector into the body frame
+    (reference `_inertialToBody`, :304-312).  inertial: (3,) or (3, B)."""
+    cph, cth, cps, sph, sth, sps = _sincos(phi, theta, psi)
+    ix, iy, iz = inertial[0], inertial[1], inertial[2]
+    bx = cps * cth * ix + cth * sps * iy - sth * iz
+    by = ((cps * sph * sth - cph * sps) * ix
+          + (cph * cps + sph * sps * sth) * iy + cth * sph * iz)
+    bz = ((sph * sps + cph * cps * sth) * ix
+          + (cph * sps * sth - cps * sph) * iy + cph * cth * iz)
+    return jnp.stack([bx, by, bz])
+
+
+def body_to_inertial(body, phi, theta, psi):
+    """Rotate a body-frame vector into the inertial frame — transpose of
+    `inertial_to_body` (reference `_bodyToInertial`, :314-328; see Section 5
+    of chrobotics.com/library/understanding-euler-angles).
+    body: (3,) or (3, B)."""
+    cph, cth, cps, sph, sth, sps = _sincos(phi, theta, psi)
+    bx, by, bz = body[0], body[1], body[2]
+    ix = (cps * cth * bx + (cps * sph * sth - cph * sps) * by
+          + (sph * sps + cph * cps * sth) * bz)
+    iy = (cth * sps * bx + (cph * cps + sph * sps * sth) * by
+          + (cph * sps * sth - cps * sph) * bz)
+    iz = -sth * bx + cth * sph * by + cph * cth * bz
+    return jnp.stack([ix, iy, iz])
+
+
+def euler_to_quaternion(phi, theta, psi):
+    """Euler angles -> quaternion (w, x, y, z), preserving the reference's
+    exact half-angle expressions INCLUDING its sign conventions
+    (`_eulerToQuaternion`, :330-337 — note the negated third component).
+    Returns shape (4,) or (4, B)."""
+    cph, cth, cps, sph, sth, sps = _sincos(phi / 2, theta / 2, psi / 2)
+    return jnp.stack([
+        cph * cth * cps + sph * sth * sps,
+        cph * sth * sps - sph * cth * cps,
+        -cph * sth * cps - sph * cth * sps,
+        cph * cth * sps - sph * sth * cps,
+    ])
+
+
+def state_dict(state: DynamicsState):
+    """The vehicle state as a {name: value} dict — `Dynamics.getState`
+    (reference :199-207).  Values are () or (B,) arrays."""
+    keys = ('x', 'dx', 'y', 'dy', 'z', 'dz',
+            'phi', 'dphi', 'theta', 'dtheta', 'psi', 'dpsi')
+    return {key: state.x[i] for i, key in enumerate(keys)}
+
+
+def get_time(state: DynamicsState, dt: float):
+    """Simulated time = ticks * dt — `Dynamics.getTime` (reference
+    :219-221); touchdown steps do not advance the clock (:177)."""
+    return state.ticks * dt
