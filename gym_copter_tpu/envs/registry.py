@@ -126,7 +126,7 @@ class CopterEnv:
                 and self.num_envs % pr.LANES == 0):
             state, totals = pr.fused_rollout(state, action, num_steps,
                                              self.params, self.spec,
-                                             seed=seed)
+                                             seed=seed, env_ids=self.env_ids)
             totals['path'] = 'fused'
             return state, totals
         import logging

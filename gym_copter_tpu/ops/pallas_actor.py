@@ -69,13 +69,15 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
                         n_actor: int, n_critic: int,
                         obs_scale: float, action_bias: float, hover: float,
                         interpret: bool):
-    # training keeps the reset wind kicks (task.py:177-188), drawn from the
-    # same in-kernel PRNG stream as the exploration noise.  The hardware
-    # PRNG has no interpret-mode implementation, so interpret runs (CPU
-    # tests) disable in-kernel reset randomness and draw exploration noise
-    # from a murmur-style counter hash instead — a different but equally
-    # valid stream (the kernel's RNG is internal either way).
-    random_reset = (not interpret and spec.perturb_on_reset
+    # training keeps the reset wind kicks (task.py:177-188).  They come from
+    # the layout-independent counter hash in pallas_rollout.make_env_step —
+    # keyed by (GLOBAL env id, episode, kick salt), identical bits in
+    # interpret (CPU) and compiled (TPU) mode and on any mesh shape.  Only
+    # the EXPLORATION noise is per-device: hardware PRNG on TPU, a
+    # murmur-style counter hash in interpret runs (the hardware PRNG has no
+    # interpret-mode implementation) — a different but equally valid stream
+    # (the kernel's noise RNG is internal either way).
+    random_reset = (spec.perturb_on_reset
                     and float(env_params.task.initial_random_force) != 0.0)
     env_step = pr.make_env_step(env_params, spec, shape,
                                 random_reset=random_reset)
@@ -90,9 +92,11 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
     n_grid = num_steps // chunk
 
     def kernel(*refs):
-        # inputs: state(6), actor w/b pairs, critic w/b pairs, log_std, seed
-        (x_ref, p_ref, status_ref, ticks_ref, steps_ref, pshape_ref) = refs[:6]
-        w_off = 6
+        # inputs: state(7: … + episode), env ids, actor w/b pairs, critic
+        # w/b pairs, mix, log_std, seed[2] = (noise seed, kick salt)
+        (x_ref, p_ref, status_ref, ticks_ref, steps_ref, pshape_ref,
+         ep_ref, eid_ref) = refs[:8]
+        w_off = 8
         actor_w = [(refs[w_off + 2 * i][:], refs[w_off + 2 * i + 1][:])
                    for i in range(n_actor)]
         c_off = w_off + 2 * n_actor
@@ -104,9 +108,9 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
         out_off = c_off + 2 * n_critic + 3
         (obs_out, act_out, lp_out, val_out, rew_out, done_out,
          x_out, p_out, status_out, ticks_out, steps_out,
-         pshape_out) = refs[out_off:out_off + 12]
+         pshape_out, ep_out) = refs[out_off:out_off + 13]
         (x_s, p_s, status_s, ticks_s, steps_s,
-         pshape_s) = refs[out_off + 12:out_off + 18]
+         pshape_s, ep_s) = refs[out_off + 13:out_off + 20]
 
         i = pl.program_id(0)
         if not interpret:
@@ -123,10 +127,14 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
             ticks_s[:] = ticks_ref[:]
             steps_s[:] = steps_ref[:]
             pshape_s[:] = pshape_ref[:]
+            ep_s[:] = ep_ref[:]
 
         xs = tuple(x_s[j] for j in range(12))
         ps = tuple(p_s[j] for j in range(6))
-        env = (xs, ps, status_s[:], ticks_s[:], steps_s[:], pshape_s[:])
+        env = (xs, ps, status_s[:], ticks_s[:], steps_s[:], pshape_s[:],
+               ep_s[:])
+        eid = eid_ref[:]
+        kick_salt = seed_ref[1]
         log_std = ls_ref[:]                     # (A, 1)
         std = jnp.exp(log_std)
         dtype = pshape_s.dtype
@@ -190,7 +198,7 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
                 m4 = jnp.dot(mix_ref[:], motors, preferred_element_type=dtype)
             u = tuple(v.reshape(shape) for v in
                       pr.motor_mix_terms(m4, env_params, dtype))
-            env, reward, done = env_step(env, u)
+            env, reward, done = env_step(env, u, eid, kick_salt)
 
             obs_out[k] = obs2d
             act_out[k] = action
@@ -199,7 +207,7 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
             rew_out[k] = reward
             done_out[k] = done.astype(dtype)
 
-        xs, ps, status, ticks, steps, pshape = env
+        xs, ps, status, ticks, steps, pshape, ep = env
         for j in range(12):
             x_s[j] = xs[j]
         for j in range(6):
@@ -208,6 +216,7 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
         ticks_s[:] = ticks
         steps_s[:] = steps
         pshape_s[:] = pshape
+        ep_s[:] = ep
 
         @pl.when(i == n_grid - 1)
         def _():
@@ -219,6 +228,7 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
             ticks_out[:] = ticks
             steps_out[:] = steps
             pshape_out[:] = pshape
+            ep_out[:] = ep
 
     return kernel
 
@@ -226,10 +236,11 @@ def _build_actor_kernel(env_params: EnvParams, spec: TaskSpec,
 @functools.partial(jax.jit, static_argnames=(
     'num_steps', 'env_params', 'spec', 'obs_scale', 'action_bias', 'hover',
     'n_actor', 'n_critic', 'interpret'))
-def _rollout(state_arrays, flat_actor, flat_critic, log_std, seed, *,
+def _rollout(state_arrays, flat_actor, flat_critic, log_std, seed,
+             kick_salt, *,
              num_steps, env_params, spec, obs_scale, action_bias, hover,
              n_actor, n_critic, interpret):
-    x, perturb, status, ticks, steps, pshape = state_arrays
+    x, perturb, status, ticks, steps, pshape, episode, env_ids = state_arrays
     dtype = x.dtype
     b = x.shape[-1]
     r = b // pr.LANES
@@ -261,7 +272,7 @@ def _rollout(state_arrays, flat_actor, flat_critic, log_std, seed, *,
 
     n_weights = len(flat_actor) + len(flat_critic)
     in_specs = ([const_block(12, r, pr.LANES), const_block(6, r, pr.LANES)]
-                + [const_block(r, pr.LANES)] * 4
+                + [const_block(r, pr.LANES)] * 6
                 + [vmem] * (n_weights + 2) + [smem])
 
     out_shape = (
@@ -277,6 +288,7 @@ def _rollout(state_arrays, flat_actor, flat_critic, log_std, seed, *,
         jax.ShapeDtypeStruct((r, pr.LANES), jnp.int32),
         jax.ShapeDtypeStruct((r, pr.LANES), jnp.int32),
         jax.ShapeDtypeStruct((r, pr.LANES), dtype),
+        jax.ShapeDtypeStruct((r, pr.LANES), jnp.int32),          # episode
     )
     out_specs = (
         t_block(n_obs, b), t_block(a_dim, b), t_block(b), t_block(b),
@@ -284,6 +296,7 @@ def _rollout(state_arrays, flat_actor, flat_critic, log_std, seed, *,
         const_block(12, r, pr.LANES), const_block(6, r, pr.LANES),
         const_block(r, pr.LANES), const_block(r, pr.LANES),
         const_block(r, pr.LANES), const_block(r, pr.LANES),
+        const_block(r, pr.LANES),
     )
     outs = pl.pallas_call(
         kernel,
@@ -298,23 +311,27 @@ def _rollout(state_arrays, flat_actor, flat_critic, log_std, seed, *,
             pltpu.VMEM((r, pr.LANES), jnp.int32),
             pltpu.VMEM((r, pr.LANES), jnp.int32),
             pltpu.VMEM((r, pr.LANES), dtype),
+            pltpu.VMEM((r, pr.LANES), jnp.int32),
         ],
         interpret=interpret,
     )(rs(x), rs(perturb), rs(status), rs(ticks), rs(steps), rs(pshape),
+      rs(episode), rs(env_ids),
       *flat_actor, *flat_critic,
       jnp.asarray(spec.mix_matrix, dtype),
       jnp.asarray(log_std, dtype).reshape(-1, 1),
-      jnp.asarray([seed], jnp.int32))
+      jnp.stack([jnp.asarray(seed, jnp.int32),
+                 jnp.asarray(kick_salt, jnp.int32)]))
 
     (obs, action, lp, value, reward, done,
-     xf, pf, statusf, ticksf, stepsf, pshapef) = outs
+     xf, pf, statusf, ticksf, stepsf, pshapef, epf) = outs
 
     def fl(a):
         return a.reshape(a.shape[:-2] + (b,))
 
     traj = FusedTrajectory(obs=obs, action=action, log_prob=lp, value=value,
                            reward=fl(reward), done=fl(done))
-    final = (fl(xf), fl(pf), fl(statusf), fl(ticksf), fl(stepsf), fl(pshapef))
+    final = (fl(xf), fl(pf), fl(statusf), fl(ticksf), fl(stepsf), fl(pshapef),
+             fl(epf))
     return traj, final
 
 
@@ -329,13 +346,20 @@ def fused_training_rollout(
     action_bias: float,
     hover: float,
     seed,
+    kick_salt=None,
+    env_ids=None,
     interpret: Optional[bool] = None,
 ):
     """PPO exploration rollout as one kernel launch.
 
     params: ppo-style dict {'actor': [...], 'critic': [...], 'log_std': (A,)}.
     Returns (FusedTrajectory, final EnvState).  `seed` selects the
-    exploration-noise stream (vary it per train step).
+    exploration-noise stream (vary it per train step; under shard_map it may
+    differ per device).  `kick_salt` (default: seed) keys the reset-wind
+    hash together with (env_ids, episode) — it must be IDENTICAL on every
+    shard so reset kicks are layout-independent (envs/base.py:16-19).
+    `env_ids` are the envs' GLOBAL ids (default arange(B) — pass the global
+    slice when sharded).
     """
     if not pr.supports(env_params, spec):
         raise ValueError(
@@ -354,22 +378,27 @@ def fused_training_rollout(
             flat.append(layer['b'][:, None])
         return tuple(flat)
 
+    if env_ids is None:
+        env_ids = jnp.arange(b, dtype=jnp.int32)
+    if kick_salt is None:
+        kick_salt = seed
     arrays = (state.dyn.x, state.dyn.perturb, state.dyn.status,
-              state.dyn.ticks, state.steps, state.prev_shaping)
+              state.dyn.ticks, state.steps, state.prev_shaping,
+              state.episode, jnp.asarray(env_ids, jnp.int32))
     traj, final = _rollout(
         arrays, flatten(params['actor']), flatten(params['critic']),
-        params['log_std'], seed,
+        params['log_std'], seed, kick_salt,
         num_steps=num_steps, env_params=env_params, spec=spec,
         obs_scale=float(obs_scale), action_bias=float(action_bias),
         hover=float(hover), n_actor=len(params['actor']),
         n_critic=len(params['critic']), interpret=interpret)
 
-    x, perturb, status, ticks, steps, pshape = final
-    # episode counter advances by completed episodes; initial_random_x is a
-    # render-only field (see pallas_rollout.fused_rollout docstring)
+    x, perturb, status, ticks, steps, pshape, episode = final
+    # initial_random_x is a render-only field (see
+    # pallas_rollout.fused_rollout docstring)
     new_state = EnvState(
         dyn=DynamicsState(x=x, status=status, perturb=perturb, ticks=ticks),
         prev_shaping=pshape, steps=steps,
-        episode=state.episode + jnp.sum(traj.done, axis=0).astype(jnp.int32),
+        episode=episode,
         initial_random_x=state.initial_random_x)
     return traj, new_state

@@ -57,8 +57,12 @@ def _build_eval_kernel(env_params: EnvParams, spec: TaskSpec,
 
         xs = tuple(x_ref[i] for i in range(12))
         ps = tuple(p_ref[i] for i in range(6))
+        # episode index / env ids / salt are dead inputs with
+        # random_reset=False (eval resets use zero kicks; post-first-done
+        # lanes are masked out of the metric anyway)
+        zero_i = jnp.zeros(shape, jnp.int32)
         env0 = (xs, ps, status_ref[:], ticks_ref[:], steps_ref[:],
-                pshape_ref[:])
+                pshape_ref[:], zero_i)
         total0 = jnp.zeros(shape, pshape_ref.dtype)
         seen0 = jnp.zeros(shape, jnp.int32)
 
@@ -90,7 +94,7 @@ def _build_eval_kernel(env_params: EnvParams, spec: TaskSpec,
         def one_step(carry):
             env, total, seen = carry
             u = policy_mix(env[0])
-            env, reward, done = env_step(env, u)
+            env, reward, done = env_step(env, u, zero_i, jnp.int32(0))
             # return-until-first-done (learn/ppo.py:275-276): this step's
             # reward counts iff no done had been seen BEFORE it
             total = total + jnp.where(seen > 0, 0.0, reward)

@@ -26,11 +26,18 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
   * Actions are constant across the rollout (the demo-heuristic / bench
     regime), so the Eq.6 motor mix (thrust + torques) is precomputed on the
     host side of the kernel boundary once, not 10,000 times.
-  * Auto-reset randomness (the reset wind kick, task.py:177-188) uses the
-    TPU hardware PRNG (`pltpu.prng_*`), seeded per kernel launch.  Its
-    stream differs from the XLA path's `jax.random.fold_in` stream; with
-    `initial_random_force == 0` (or `perturb_on_reset=False`) the kernel is
-    fully deterministic and bit-comparable to the XLA path.
+  * Auto-reset randomness (the reset wind kick, task.py:177-188) is a
+    counter-based hash of (global env id, episode index, salt) — the
+    in-kernel analogue of the XLA path's
+    `fold_in(fold_in(base_key, env_id), episode)` stream (envs/base.py
+    `_initial_forces`).  Because the hash depends only on GLOBAL per-env
+    values carried with the state (never on lane position, batch size,
+    launch count, or a per-shard PRNG), trajectories are bit-identical
+    across any sharding layout — the same layout-independence contract the
+    XLA path guarantees (envs/base.py:16-19) — and interpret-mode (CPU)
+    runs produce the same kicks bit-for-bit as compiled TPU runs.  The
+    hash stream itself differs from the XLA threefry stream, so
+    fused-vs-scan bit-parity tests run with `initial_random_force == 0`.
 
 Supported task space (assertion-checked): 'lander' and 'hover' kinds with
 'standard' termination — the headline Lander/Hover 1D/2D/3D family.  Other
@@ -67,10 +74,17 @@ def _motor_mix(action, params: EnvParams, spec: TaskSpec, dtype):
         motors = jnp.clip(action, 0.0, 1.0)
     elif spec.action_mode == 'rescale01':
         motors = (1.0 + action) / 2.0
+    elif spec.action_mode == 'demand3':
+        # throttle clipped to [0,1] pre-mix, signed roll/pitch
+        # (simple_lander3d.py:84-87)
+        motors = action.at[0].set(jnp.clip(action[0], 0.0, 1.0))
     else:
         motors = action
     mix = jnp.asarray(spec.mix_matrix, dtype)
     m4 = mix @ motors  # (4, B)
+    if spec.action_mode == 'demand3':
+        # the MIXED motor values are clipped to [0,1] (simple_lander3d.py:99)
+        m4 = jnp.clip(m4, 0.0, 1.0)
     return motor_mix_terms(m4, params, dtype)
 
 
@@ -101,27 +115,82 @@ def motor_mix_terms(m4, params: EnvParams, dtype):
     return -U1 / vp.M, U2 / vp.Ix, U3 / vp.Iy, U4 / vp.Iz, omega
 
 
+def _i32(c) -> jnp.int32:
+    """A uint32 constant as its int32 two's-complement twin (Mosaic has no
+    native uint32 lanes; int32 wrapping arithmetic is bit-identical)."""
+    return jnp.int32(np.int32(np.uint32(c)))
+
+
+# per-axis salts decorrelating the three kick components
+_KICK_AXIS = (0x2545F491, 0x63173B93, 0x1B56C4E9)
+
+
+def _kick_u01(eid, ep, salt, axis_salt, dtype):
+    """Counter-based uniform in [0, 1): murmur3-fmix32-style avalanche of
+    (global env id, episode index, salt, axis).  Pure int32 arithmetic with
+    logical shifts — wrapping int32 mul/xor/shr is bit-identical to uint32
+    math, so the XLA interpreter (CPU tests) and Mosaic (TPU) produce the
+    SAME bits, and the value depends only on globally-meaningful inputs
+    (layout independence).  Quality is validated by the moment/uniformity
+    test in tests/test_pallas_rollout.py."""
+    def shr(v, k):  # logical shift with the amount pinned to int32 (x64 mode)
+        return jax.lax.shift_right_logical(v, jnp.int32(k))
+
+    x = eid * _i32(0x9E3779B9) + ep * _i32(0x85EBCA6B)
+    x = x ^ (salt * _i32(0xC2B2AE35)) ^ _i32(axis_salt)
+    x = (x ^ shr(x, 16)) * _i32(0x7FEB352D)
+    x = (x ^ shr(x, 15)) * _i32(0x846CA68B)
+    x = (x ^ shr(x, 16)) * _i32(0x9E3779B1)
+    x = x ^ shr(x, 16)
+    # top 24 bits -> float32-exact uniform
+    return shr(x, 8).astype(dtype) * (2.0 ** -24)
+
+
 def _reset_constants(params: EnvParams, spec: TaskSpec):
     """Host-side constants describing the in-kernel auto-reset target state,
-    matching envs/base.reset with the default pose (the auto-reset path)."""
+    matching envs/base.reset with the default pose (the auto-reset path).
+    Returns (xy0, alt, dz0, ticks0, status0, s0): start X/Y offset, start
+    altitude, initial Z velocity, initial clock, status, and prev_shaping.
+
+    With `integrate_on_reset` (the attic simple lander's real zero-demand
+    reset step, simple_lander3d.py:79) the one deterministic free-fall Euler
+    step is folded into the constants: dz0 = dt*g, ticks0 = 1, and shaping
+    is seeded from the integrated state — valid because the spec has no
+    reset randomness (perturb_on_reset=False)."""
     alt = (spec.start_altitude if spec.start_altitude is not None
            else params.task.initial_altitude)
     alt = float(alt)
+    xy0 = float(spec.start_xy_offset)
     status0 = C.STATUS_AIRBORNE if alt > 0 else C.STATUS_LANDED
+    dz0, ticks0 = 0.0, 0
+    if spec.integrate_on_reset:
+        assert not spec.perturb_on_reset and alt > 0, \
+            'integrate_on_reset constants assume a deterministic airborne reset'
+        dz0 = float(np.float32(params.task.dt) * np.float32(params.world.g))
+        ticks0 = 1
     # prev_shaping of the reset state, computed in float32 exactly as
-    # base._shaping does on the (all-zero-but-z) initial state
+    # base._shaping does on the initial state
     if spec.kind == 'lander':
         rp = params.reward
         z = np.float32(-alt)
         s0 = -(np.float32(rp.xyz_penalty_factor) * np.sqrt(z * z)
                + np.float32(rp.yaw_penalty_factor) * np.float32(0.0))
         s0 = float(s0)
+    elif spec.kind == 'lander_simple':
+        # -(25·‖state[0:6]‖ + 250·‖state[6:10]‖) on the post-free-fall
+        # state (base._shaping 'lander_simple'; simple_lander3d.py:113-117)
+        rp = params.reward
+        pos = np.array([xy0, 0.0, xy0, 0.0, -alt, dz0], np.float32)
+        s0 = -(np.float32(rp.xyz_penalty_factor)
+               * np.float32(np.sqrt(np.sum(pos * pos)))
+               + np.float32(rp.pitch_roll_penalty_factor) * np.float32(0.0))
+        s0 = float(s0)
     elif spec.kind == 'takeoff':
         s0 = float(-np.abs(np.float32(alt)
                            - np.float32(params.task.takeoff_target)))
     else:  # hover / althold / distance carry no (or zero) initial shaping
         s0 = 0.0
-    return alt, status0, s0
+    return xy0, alt, dz0, ticks0, status0, s0
 
 
 def make_env_step(params: EnvParams, spec: TaskSpec,
@@ -131,12 +200,19 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
     (ops/pallas_policy.py).  All physics / reward / termination constants
     are closed over as Python floats so they compile to immediates.
 
-    Returns env_step(carry, u) -> (carry', reward, done) where
-      carry = (xs 12-tuple, ps 6-tuple, status, ticks, steps, pshape),
+    Returns env_step(carry, u, eid, salt) -> (carry', reward, done) where
+      carry = (xs 12-tuple, ps 6-tuple, status, ticks, steps, pshape, ep),
       u     = (bz, u2ix, u3iy, u4iz, om) per-env thrust/torque accelerations
               from `motor_mix_terms` (each (R, 128)),
+      eid   = (R, 128) int32 GLOBAL env ids (keys the reset-kick hash),
+      salt  = scalar int32 run-level salt (the base_key analogue; must be
+              identical on every shard for layout independence),
     and reward/done describe the finished step (pre-auto-reset), while
-    carry' already contains freshly reset episodes on done lanes.
+    carry' already contains freshly reset episodes on done lanes.  `ep` is
+    the per-env episode index; fresh episodes on done lanes carry ep+1 and
+    their wind kick is `_kick_u01(eid, ep+1, salt, axis)` — paralleling the
+    XLA path's fold_in(fold_in(base_key, eid), episode) (envs/base.py
+    `_initial_forces`).
     """
     vp = params.vehicle
     t = params.task
@@ -152,11 +228,15 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
     jr_ix = vp.Jr / vp.Ix
     jr_iy = vp.Jr / vp.Iy
     blade = params.lift_model == 'blade_element'
-    f_force = float(t.initial_random_force)
-    alt0, status0, s0 = _reset_constants(params, spec)
+    # kick = (2*u01 - 1) * (F/M) with F/M pre-divided host-side: u01*2 and
+    # -1 are EXACT float ops (24-bit mantissa, Sterbenz), leaving a single
+    # rounded multiply — so the kick value cannot shift by a ULP when XLA
+    # fuses the surrounding program differently (shard_map vs not)
+    kick_scale = float(t.initial_random_force) / float(vp.M)
+    xy0, alt0, dz0, ticks0, status0, s0 = _reset_constants(params, spec)
 
-    def env_step(carry, u):
-        xs, ps, status, ticks, steps, pshape = carry
+    def env_step(carry, u, eid, salt):
+        xs, ps, status, ticks, steps, pshape, ep = carry
         bz, u2ix, u3iy, u4iz, om = u
         x0, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11 = xs
         p0, p1, p2, p3, p4, p5 = ps
@@ -244,6 +324,17 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
             reward = reward + jnp.where(entry_landed & inside,
                                         rp.inside_radius_bonus, 0.0)
             done = entry_landed
+        elif kind == 'lander_simple':
+            # -(25·‖state[0:6]‖ + 250·‖state[6:10]‖) shaping delta; the
+            # landing bonus is applied AFTER the oob/tilt replacement in
+            # the 'simple' termination below (simple_lander3d.py:113-141)
+            pos_sq = (y0 * y0 + y1 * y1 + y2 * y2
+                      + y3 * y3 + y4 * y4 + y5 * y5)
+            ang_sq = y6 * y6 + y7 * y7 + y8 * y8 + y9 * y9
+            shaping = -(rp.xyz_penalty_factor * jnp.sqrt(pos_sq)
+                        + rp.pitch_roll_penalty_factor * jnp.sqrt(ang_sq))
+            reward = shaping - pshape
+            done = entry_landed
         elif kind == 'althold':
             # +1 per step within tolerance (attic althold.py:52)
             on_target = (jnp.abs(-y4 - t.althold_target)
@@ -276,6 +367,21 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
         if spec.termination == 'crash_only':
             # post-step status (base.py:316-317, attic target.py:41-42)
             done = done | (status_n == C.STATUS_CRASHED)
+        elif spec.termination == 'simple':
+            # attic simple lander: oob AND tilt both REPLACE the reward;
+            # the inside-radius bonus (squared compare) is added AFTERWARDS
+            # on the landed step; crash terminates silently
+            # (simple_lander3d.py:124-141; base._raw_step 'simple')
+            oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
+            tilt = ((jnp.abs(y6) >= t.max_angle)
+                    | (jnp.abs(y8) >= t.max_angle))
+            crashed = status == C.STATUS_CRASHED
+            reward = jnp.where(oob | tilt, -t.out_of_bounds_penalty, reward)
+            inside = (y0 * y0 + y2 * y2
+                      < rp.target_radius * rp.target_radius)
+            reward = reward + jnp.where(entry_landed & inside,
+                                        rp.inside_radius_bonus, 0.0)
+            done = done | oob | tilt | crashed
         elif spec.termination == 'standard':
             # --- standard termination (base.py:304-321) ---
             oob = (jnp.abs(y0) >= t.bounds) | (jnp.abs(y2) >= t.bounds)
@@ -289,30 +395,31 @@ def make_env_step(params: EnvParams, spec: TaskSpec,
         done = done | (steps == t.max_steps)
 
         # --- auto-reset (base.step + base.reset, default pose) ---
+        ep1 = ep + 1  # fresh episodes carry the incremented index
         if random_reset:
-            def u01():
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits(shape), jnp.uint32)
-                # Mosaic has no uint32->float cast; the top-24-bit value
-                # is positive, so round-trip through int32
-                i24 = pltpu.bitcast(bits >> 8, jnp.int32)
-                return i24.astype(pshape.dtype) * (2.0 ** -24)
+            # kick ~ U(-F, F)/M keyed by (GLOBAL env id, new episode index,
+            # run salt): identical on any mesh layout, any batch size, and
+            # in interpret vs compiled mode
             kick = tuple(
-                ((2.0 * u01() - 1.0) * f_force) / vp.M for _ in range(3))
+                (2.0 * _kick_u01(eid, ep1, salt, ax, pshape.dtype) - 1.0)
+                * kick_scale for ax in _KICK_AXIS)
         else:
             kick = (zero, zero, zero)
         xs_r = tuple(
             jnp.where(done, rv, nv) for rv, nv in zip(
-                (zero, zero, zero, zero, zero + (-alt0), zero,
+                (zero + xy0, zero, zero + xy0, zero,
+                 zero + (-alt0), zero + dz0,
                  zero, zero, zero, zero, zero, zero), xs_n))
         ps_r = tuple(
             jnp.where(done, rv, nv) for rv, nv in zip(
                 kick + (zero, zero, zero), ps_n))
         status_r = jnp.where(done, status0, status_n).astype(jnp.int32)
-        ticks_r = jnp.where(done, 0, ticks_n).astype(jnp.int32)
+        ticks_r = jnp.where(done, ticks0, ticks_n).astype(jnp.int32)
         steps_r = jnp.where(done, 1, steps + 1).astype(jnp.int32)
         pshape_r = jnp.where(done, s0, shaping)
-        return ((xs_r, ps_r, status_r, ticks_r, steps_r, pshape_r), reward, done)
+        ep_r = jnp.where(done, ep1, ep).astype(jnp.int32)
+        return ((xs_r, ps_r, status_r, ticks_r, steps_r, pshape_r, ep_r),
+                reward, done)
 
     return env_step
 
@@ -325,23 +432,23 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
     env_step = make_env_step(params, spec, shape, random_reset)
 
     def kernel(x_ref, p_ref, status_ref, ticks_ref, steps_ref, pshape_ref,
+               ep_ref, eid_ref,
                bz_ref, u2_ref, u3_ref, u4_ref, om_ref, seed_ref,
                x_out, p_out, status_out, ticks_out, steps_out, pshape_out,
-               acc_out, eps_out):
-        if random_reset:
-            pltpu.prng_seed(seed_ref[0])
-
+               ep_out, acc_out, eps_out):
         xs = tuple(x_ref[i] for i in range(12))
         ps = tuple(p_ref[i] for i in range(6))
         u = (bz_ref[:], u2_ref[:], u3_ref[:], u4_ref[:], om_ref[:])
         env0 = (xs, ps, status_ref[:], ticks_ref[:], steps_ref[:],
-                pshape_ref[:])
+                pshape_ref[:], ep_ref[:])
+        eid = eid_ref[:]
+        salt = seed_ref[0]
         acc0 = jnp.zeros(shape, pshape_ref.dtype)
         eps0 = jnp.zeros(shape, jnp.int32)
 
         def one_step(carry):
             env, acc, eps = carry
-            env, reward, done = env_step(env, u)
+            env, reward, done = env_step(env, u, eid, salt)
             return env, acc + reward, eps + done.astype(jnp.int32)
 
         # Mosaic supports only unroll=1 fori_loops; unroll manually to
@@ -357,7 +464,7 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
                                   (env0, acc0, eps0))
         for _ in range(num_steps % unroll):
             carry = one_step(carry)
-        (xs, ps, status, ticks, steps, pshape), acc, eps = carry
+        (xs, ps, status, ticks, steps, pshape, ep), acc, eps = carry
 
         for i in range(12):
             x_out[i] = xs[i]
@@ -367,6 +474,7 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
         ticks_out[:] = ticks
         steps_out[:] = steps
         pshape_out[:] = pshape
+        ep_out[:] = ep
         acc_out[:] = acc
         eps_out[:] = eps
 
@@ -374,21 +482,24 @@ def _build_kernel(params: EnvParams, spec: TaskSpec, num_steps: int,
 
 
 def supports(params: EnvParams, spec: TaskSpec) -> bool:
-    """Whether the fused kernel covers this task configuration — the whole
-    task family, Lander/Hover 1D/2D/3D plus AltHold/Takeoff/Distance/Target.
-    (Target's moving-target track lives only in the observation, which the
-    constant-action rollout never materializes, so in-kernel it reduces to
-    crash-only termination + zero reward — attic target.py:44-51.)"""
-    return (spec.kind in ('lander', 'hover', 'althold', 'takeoff',
-                          'distance', 'target')
-            and spec.termination in ('standard', 'none', 'crash_only')
-            and spec.action_mode in ('clip01', 'rescale01', 'raw'))
+    """Whether the fused kernel covers this task configuration — every task
+    kind in the registry: Lander/Hover 1D/2D/3D, Lander3DSimple, plus
+    AltHold/Takeoff/Distance/Target.  (Target's moving-target track lives
+    only in the observation, which the constant-action rollout never
+    materializes, so in-kernel it reduces to crash-only termination + zero
+    reward — attic target.py:44-51.)"""
+    return (spec.kind in ('lander', 'lander_simple', 'hover', 'althold',
+                          'takeoff', 'distance', 'target')
+            and spec.termination in ('standard', 'simple', 'none',
+                                     'crash_only')
+            and spec.action_mode in ('clip01', 'rescale01', 'raw',
+                                     'demand3'))
 
 
 @functools.partial(jax.jit, static_argnames=('num_steps', 'params', 'spec',
                                              'interpret'))
 def _fused(state_arrays, action, seed, *, num_steps, params, spec, interpret):
-    (x, perturb, status, ticks, steps, pshape) = state_arrays
+    (x, perturb, status, ticks, steps, pshape, episode, env_ids) = state_arrays
     dtype = x.dtype
     b = x.shape[-1]
     r = b // LANES
@@ -407,9 +518,9 @@ def _fused(state_arrays, action, seed, *, num_steps, params, spec, interpret):
         jax.ShapeDtypeStruct((12,) + shape, dtype),
         jax.ShapeDtypeStruct((6,) + shape, dtype),
         vec(jnp.int32), vec(jnp.int32), vec(jnp.int32),
-        vec(dtype), vec(dtype), vec(jnp.int32),
+        vec(dtype), vec(jnp.int32), vec(dtype), vec(jnp.int32),
     )
-    n_in = 11
+    n_in = 13
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         kernel,
@@ -423,6 +534,7 @@ def _fused(state_arrays, action, seed, *, num_steps, params, spec, interpret):
         ),
         interpret=interpret,
     )(rs(x), rs(perturb), rs(status), rs(ticks), rs(steps), rs(pshape),
+      rs(episode), rs(env_ids),
       rs(bz), rs(u2), rs(u3), rs(u4), rs(om),
       jnp.asarray([seed], jnp.int32))
 
@@ -440,6 +552,7 @@ def fused_rollout(
     spec: TaskSpec,
     *,
     seed: int = 0,
+    env_ids=None,
     interpret: Optional[bool] = None,
 ):
     """Run `num_steps` auto-resetting env steps with a constant action as ONE
@@ -449,10 +562,13 @@ def fused_rollout(
     per-env rewards, 'episodes': (B,) int32 episodes completed}.  The
     returned EnvState matches what `num_steps` iterated `base.step` calls
     would produce (bit-exact when `initial_random_force == 0`; statistically
-    equivalent otherwise — the in-kernel TPU PRNG replaces the host
-    `fold_in` stream for reset wind kicks).  `initial_random_x` is not
-    re-derived for auto-reset episodes (it only feeds the 2D renderer's wind
-    pennant, twod.py:189-207).
+    equivalent otherwise — the in-kernel counter-hash kick stream parallels,
+    but does not replay, the host `fold_in` stream).  Reset kicks are keyed
+    by (env_ids, state.episode, seed): pass the envs' GLOBAL ids (defaults
+    to arange(B)) and the same `seed` on every shard, and the trajectory is
+    bit-identical on any sharding layout — the envs/base.py:16-19 contract.
+    `initial_random_x` is not re-derived for auto-reset episodes (it only
+    feeds the 2D renderer's wind pennant, twod.py:189-207).
     """
     if not supports(params, spec):
         raise ValueError(
@@ -463,10 +579,13 @@ def fused_rollout(
         raise ValueError(f'batch {b} must be a multiple of {LANES}')
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    if env_ids is None:
+        env_ids = jnp.arange(b, dtype=jnp.int32)
 
     arrays = (state.dyn.x, state.dyn.perturb, state.dyn.status,
-              state.dyn.ticks, state.steps, state.prev_shaping)
-    (x, perturb, status, ticks, steps, pshape, acc, eps) = _fused(
+              state.dyn.ticks, state.steps, state.prev_shaping,
+              state.episode, jnp.asarray(env_ids, jnp.int32))
+    (x, perturb, status, ticks, steps, pshape, episode, acc, eps) = _fused(
         arrays, action, seed, num_steps=num_steps, params=params, spec=spec,
         interpret=interpret)
 
@@ -474,7 +593,7 @@ def fused_rollout(
         dyn=DynamicsState(x=x, status=status, perturb=perturb, ticks=ticks),
         prev_shaping=pshape,
         steps=steps,
-        episode=state.episode + eps,
+        episode=episode,
         initial_random_x=state.initial_random_x,
     )
     return new_state, {'reward_sum': acc, 'episodes': eps}

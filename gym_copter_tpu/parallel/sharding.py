@@ -70,14 +70,19 @@ def replicate(tree, mesh: Mesh):
 def sharded_fused_training_rollout(net_params, state, num_steps: int,
                                    env_params, spec, mesh: Mesh, *,
                                    obs_scale, action_bias, hover, seed,
+                                   env_ids=None,
                                    axis: str = ENV_AXIS, interpret=None):
     """Multi-chip fused PPO rollout: every device runs the
     `ops.pallas_actor.fused_training_rollout` kernel on its env shard with
     replicated policy parameters; per-device exploration-noise streams are
-    decorrelated by folding the mesh position into the seed.  Environments
-    never communicate, so the rollout itself needs zero collectives — the
-    PPO gradient all-reduce downstream is the only cross-device traffic.
+    decorrelated by folding the mesh position into the noise seed, while the
+    reset-kick hash keeps the GLOBAL (env_ids, episode, seed) key on every
+    shard — kicks are bit-identical on any mesh layout (envs/base.py:16-19).
+    Environments never communicate, so the rollout itself needs zero
+    collectives — the PPO gradient all-reduce downstream is the only
+    cross-device traffic.
 
+    env_ids: (B,) GLOBAL env ids (default arange(B)).
     Returns (FusedTrajectory, EnvState) with trajectory/state leaves
     sharded along the batch axis.
     """
@@ -86,47 +91,53 @@ def sharded_fused_training_rollout(net_params, state, num_steps: int,
     except AttributeError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    from gym_copter_tpu.core.dynamics import DynamicsState
-    from gym_copter_tpu.envs.base import EnvState as ES
     from gym_copter_tpu.ops import pallas_actor as pa
 
-    def batch_spec(a):
-        return P(*([None] * (np.ndim(a) - 1) + [axis]))
+    if env_ids is None:
+        env_ids = jnp.arange(state.dyn.x.shape[-1], dtype=jnp.int32)
 
-    state_specs = jax.tree.map(batch_spec, state)
+    state_specs = jax.tree.map(
+        lambda a: P(*([None] * (np.ndim(a) - 1) + [axis])), state)
     traj_specs = pa.FusedTrajectory(
         obs=P(None, None, axis), action=P(None, None, axis),
         log_prob=P(None, axis), value=P(None, axis),
         reward=P(None, axis), done=P(None, axis))
 
-    def local(net_params, state, seed):
+    def local(net_params, state, env_ids, seed):
         dev_seed = seed + jax.lax.axis_index(axis) * 7919
         return pa.fused_training_rollout(
             net_params, state, num_steps, env_params, spec,
             obs_scale=obs_scale, action_bias=action_bias, hover=hover,
-            seed=dev_seed, interpret=interpret)
+            seed=dev_seed, kick_salt=seed, env_ids=env_ids,
+            interpret=interpret)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), state_specs, P()),
+                   in_specs=(P(), state_specs, P(axis), P()),
                    out_specs=(traj_specs, state_specs),
                    check_vma=False)
-    return fn(net_params, state, jnp.asarray(seed, jnp.int32))
+    return fn(net_params, state, jnp.asarray(env_ids, jnp.int32),
+              jnp.asarray(seed, jnp.int32))
 
 
 _SHARDED_ROLLOUT_CACHE = {}
 
 
 def sharded_fused_rollout(state, action, num_steps: int, params, spec,
-                          mesh: Mesh, *, seed: int = 0, axis: str = ENV_AXIS,
-                          interpret=None):
+                          mesh: Mesh, *, seed: int = 0, env_ids=None,
+                          axis: str = ENV_AXIS, interpret=None):
     """Multi-chip version of `ops.pallas_rollout.fused_rollout`: the env
     batch is sharded over the mesh and every device runs the whole-rollout
     Pallas kernel on its local shard — environments never communicate, so
     the rollout scales with zero collectives (SURVEY.md §2.3).
 
-    Each device's reset-PRNG stream is decorrelated by folding its mesh
-    position into the seed.  With `initial_random_force == 0` the result is
-    bit-identical to the unsharded kernel on any mesh shape.
+    Reset wind kicks are a counter hash of (GLOBAL env id, episode, seed);
+    every shard uses the same seed and its envs' global ids, so the result
+    is bit-identical to the unsharded kernel on any mesh shape — including
+    with `initial_random_force != 0` (the envs/base.py:16-19
+    layout-independence contract; asserted by
+    tests/test_pallas_rollout.py::test_sharded_random_reset_layout_independent).
+
+    env_ids: (B,) GLOBAL env ids (default arange(B)).
 
     The shard_map is wrapped in an outer jit cached per (mesh, task,
     num_steps): an EAGER shard_map dispatches roughly 2x slower than the
@@ -142,6 +153,8 @@ def sharded_fused_rollout(state, action, num_steps: int, params, spec,
     if b % (n_dev * pr.LANES) != 0:
         raise ValueError(
             f'batch {b} must be a multiple of mesh size {n_dev} x {pr.LANES}')
+    if env_ids is None:
+        env_ids = jnp.arange(b, dtype=jnp.int32)
 
     cache_key = (mesh, num_steps, params, spec, axis, interpret)
     fn = _SHARDED_ROLLOUT_CACHE.get(cache_key)
@@ -157,19 +170,19 @@ def sharded_fused_rollout(state, action, num_steps: int, params, spec,
         in_specs = tuple(spec_of_ndim(np.ndim(a)) for a in (
             state.dyn.x, state.dyn.perturb, state.dyn.status,
             state.dyn.ticks, state.steps, state.prev_shaping,
-            state.episode, state.initial_random_x, action)) + (P(),)
+            state.episode, state.initial_random_x, action)) + (P(axis), P())
 
         def local(x, perturb, status, ticks, steps, pshape, episode,
-                  init_rx, act, seed_arr):
+                  init_rx, act, ids, seed_arr):
             from gym_copter_tpu.core.dynamics import DynamicsState
             from gym_copter_tpu.envs.base import EnvState as ES
             st = ES(dyn=DynamicsState(x=x, status=status, perturb=perturb,
                                       ticks=ticks),
                     prev_shaping=pshape, steps=steps, episode=episode,
                     initial_random_x=init_rx)
-            dev_seed = seed_arr + jax.lax.axis_index(axis)
             out, tot = pr.fused_rollout(st, act, num_steps, params, spec,
-                                        seed=dev_seed, interpret=interpret)
+                                        seed=seed_arr, env_ids=ids,
+                                        interpret=interpret)
             return (out.dyn.x, out.dyn.perturb, out.dyn.status,
                     out.dyn.ticks, out.steps, out.prev_shaping, out.episode,
                     out.initial_random_x, tot['reward_sum'],
@@ -185,7 +198,7 @@ def sharded_fused_rollout(state, action, num_steps: int, params, spec,
     outs = fn(state.dyn.x, state.dyn.perturb, state.dyn.status,
               state.dyn.ticks, state.steps, state.prev_shaping,
               state.episode, state.initial_random_x, action,
-              jnp.asarray(seed, jnp.int32))
+              jnp.asarray(env_ids, jnp.int32), jnp.asarray(seed, jnp.int32))
     (x, perturb, status, ticks, steps, pshape, episode, init_rx,
      acc, eps) = outs
 

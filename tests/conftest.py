@@ -10,17 +10,23 @@ dtype-explicit so float32 behavior is still testable.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-_flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in _flags:
-    os.environ['XLA_FLAGS'] = (
-        _flags + ' --xla_force_host_platform_device_count=8').strip()
+if os.environ.get('GCT_TPU_TESTS'):
+    # escape hatch for the @pytest.mark.skipif(backend != 'tpu') tests:
+    # keep the container's default (real-TPU) platform and float32, e.g.
+    #   GCT_TPU_TESTS=1 pytest tests/test_pallas_actor.py -k hardware
+    import jax  # noqa: F401
+else:
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    _flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in _flags:
+        os.environ['XLA_FLAGS'] = (
+            _flags + ' --xla_force_host_platform_device_count=8').strip()
 
-import jax  # noqa: E402
+    import jax
 
-# The container's sitecustomize registers a tunneled TPU backend and forces
-# jax_platforms='axon,cpu'; tests must run on the virtual CPU mesh (true
-# float64, 8 fake devices), so force the platform back before any backend
-# initializes.
-jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_enable_x64', True)
+    # The container's sitecustomize registers a tunneled TPU backend and
+    # forces jax_platforms='axon,cpu'; tests must run on the virtual CPU
+    # mesh (true float64, 8 fake devices), so force the platform back
+    # before any backend initializes.
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)

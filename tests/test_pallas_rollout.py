@@ -129,6 +129,26 @@ def test_lander1d_mix_parity():
     _assert_match(fused, scan, 'lander1d')
 
 
+@pytest.mark.parametrize('throttle,scenario', [
+    (0.48, 'descent'),    # just below attic hover (~0.52): soft landing path
+    (-1.0, 'free-fall'),  # zero motors: crash + repeated auto-reset
+])
+def test_lander3d_simple_parity(throttle, scenario):
+    """Lander3DSimple through the fused kernel (VERDICT round-2 item 4):
+    demand3 pre/post-mix clipping, 'simple' termination (oob/tilt REPLACE,
+    bonus after, squared inside compare), the fixed +2.5 X/Y start, and the
+    integrate_on_reset free-fall constants — bit-exact vs the XLA scan on
+    its own 50 Hz attic-vehicle preset."""
+    from gym_copter_tpu.envs.tasks import (LANDER_3D_SIMPLE,
+                                           _simple_lander_params)
+    params = _simple_lander_params()
+    params = params._replace(task=params.task._replace(max_steps=120))
+    fused, scan = _run_both(LANDER_3D_SIMPLE, params,
+                            [throttle, 0.0, 0.0], 300)
+    _assert_match(fused, scan, f'lander3d-simple {scenario}')
+    assert int(np.asarray(fused[1]['episodes'])[0]) >= 1
+
+
 def test_unsupported_spec_raises():
     bogus = tasks.TARGET._replace(kind='nope')
     with pytest.raises(ValueError, match='fused-kernel family'):
@@ -202,6 +222,81 @@ def test_sharded_fused_rollout_matches_unsharded():
                                   np.asarray(u_tot['episodes']))
     np.testing.assert_array_equal(np.asarray(s_tot['reward_sum']),
                                   np.asarray(u_tot['reward_sum']))
+
+
+@pytest.mark.parametrize('n_shards', [1, 2, 4, 8])
+def test_sharded_random_reset_layout_independent(n_shards):
+    """THE layout-independence contract (envs/base.py:16-19), with reset
+    randomness ON: `sharded_fused_rollout` with initial_random_force=30 must
+    be bit-identical on 1/2/4/8-shard meshes, because the reset kicks are a
+    counter hash of (GLOBAL env id, episode, seed) — never of lane position,
+    shard index, or a per-launch PRNG (VERDICT round-2 item 2)."""
+    from gym_copter_tpu.parallel import sharding as sh
+
+    if len(jax.devices()) < n_shards:
+        pytest.skip('needs %d virtual devices' % n_shards)
+    big = 8 * 128
+    params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                       task=TaskParams(initial_random_force=30.0,
+                                       max_steps=60))
+    spec = tasks.LANDER_3D
+    key = jax.random.PRNGKey(0)
+    env_ids = jnp.arange(big, dtype=jnp.int32)
+    state, _ = base.reset(key, env_ids, jnp.zeros(big, jnp.int32), params,
+                          spec, dtype=jnp.float32)
+    action = jnp.full((4, big), 1.625e-2, jnp.float32)
+
+    u_out, u_tot = pr.fused_rollout(state, action, 150, params, spec,
+                                    seed=7, interpret=True)
+    # the test must bite: episodes reset in-kernel, and the in-kernel kick
+    # path is live — a different seed (which feeds ONLY the kick hash in
+    # this kernel) must change the trajectory
+    assert int(jnp.min(u_tot['episodes'])) >= 1
+    alt_out, _ = pr.fused_rollout(state, action, 150, params, spec,
+                                  seed=8, interpret=True)
+    assert not np.array_equal(np.asarray(u_out.dyn.x),
+                              np.asarray(alt_out.dyn.x))
+
+    mesh = sh.make_mesh(jax.devices()[:n_shards])
+    s_out, s_tot = sh.sharded_fused_rollout(
+        sh.shard_env_state(state, mesh),
+        sh.shard_env_state(action, mesh), 150, params, spec,
+        mesh, seed=7, interpret=True)
+    for name, a, b_ in (('x', s_out.dyn.x, u_out.dyn.x),
+                        ('perturb', s_out.dyn.perturb, u_out.dyn.perturb),
+                        ('status', s_out.dyn.status, u_out.dyn.status),
+                        ('episode', s_out.episode, u_out.episode),
+                        ('reward', s_tot['reward_sum'], u_tot['reward_sum']),
+                        ('episodes', s_tot['episodes'], u_tot['episodes'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_),
+                                      err_msg=f'{n_shards} shards: {name}')
+
+
+def test_kick_hash_uniformity():
+    """The in-kernel reset-kick stream `_kick_u01` is a decent U[0,1):
+    correct first/second moments, full-range coverage, decorrelated across
+    the three axes and across consecutive episodes."""
+    n = 1 << 14
+    eid = jnp.arange(n, dtype=jnp.int32)
+    ep = jnp.ones((n,), jnp.int32)
+    salt = jnp.int32(123)
+    draws = [np.asarray(pr._kick_u01(eid, ep, salt, ax, jnp.float32))
+             for ax in pr._KICK_AXIS]
+    for d in draws:
+        assert abs(d.mean() - 0.5) < 0.01
+        assert abs(d.std() - (1 / np.sqrt(12))) < 0.01
+        assert d.min() < 0.01 and d.max() > 0.99
+    # axis decorrelation
+    assert abs(np.corrcoef(draws[0], draws[1])[0, 1]) < 0.05
+    # episode-to-episode decorrelation for a fixed env
+    d_ep = np.asarray(pr._kick_u01(jnp.zeros(n, jnp.int32),
+                                   jnp.arange(n, dtype=jnp.int32), salt,
+                                   pr._KICK_AXIS[0], jnp.float32))
+    assert abs(np.corrcoef(d_ep[:-1], d_ep[1:])[0, 1]) < 0.05
+    # salt changes the stream
+    d2 = np.asarray(pr._kick_u01(eid, ep, jnp.int32(124), pr._KICK_AXIS[0],
+                                 jnp.float32))
+    assert np.mean(draws[0] == d2) < 0.01
 
 
 def test_sharded_fused_rollout_batch_check():
