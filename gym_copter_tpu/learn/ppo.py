@@ -64,13 +64,15 @@ class PPOConfig(NamedTuple):
     log_std_max: float = 0.5
     anneal_lr: bool = True
     anneal_lr_floor: float = 0.05
-    # trust-region guard: once the mean approx-KL of an epoch's minibatches
-    # exceeds this, the remaining epochs of the update are skipped (their
-    # gradients are computed but masked to zero — scan-friendly early
-    # stopping).  0 disables.  This is the main defense against the
-    # slow late-training policy drift that LR annealing alone leaves:
-    # even at small LR, Adam renormalizes gradient scale, so thousands of
-    # tail updates can still walk the policy off a good optimum.
+    # trust-region guard: the first MINIBATCH whose approx-KL (measured on
+    # the current params, before its own update) exceeds this is skipped,
+    # along with everything after it in the update (gradients computed but
+    # masked to zero — scan-friendly early stopping).  0 disables.  This is
+    # the main defense against the slow late-training policy drift that LR
+    # annealing alone leaves: even at small LR, Adam renormalizes gradient
+    # scale, so thousands of tail updates can still walk the policy off a
+    # good optimum.  (Round-2 used an epoch-level check, which let up to
+    # `minibatches` oversized steps through before tripping.)
     target_kl: float = 0.0
 
 
@@ -196,12 +198,13 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
                 params, env_state, cfg.rollout_steps, env_params, spec,
                 mesh, obs_scale=cfg.obs_scale,
                 action_bias=cfg.init_action_bias, hover=float(hover),
-                seed=seed, interpret=interpret)
+                seed=seed, env_ids=env_ids, interpret=interpret)
         else:
             ftraj, env_state = fused_training_rollout(
                 params, env_state, cfg.rollout_steps, env_params, spec,
                 obs_scale=cfg.obs_scale, action_bias=cfg.init_action_bias,
-                hover=float(hover), seed=seed, interpret=interpret)
+                hover=float(hover), seed=seed, env_ids=env_ids,
+                interpret=interpret)
         traj = Transition(obs=ftraj.obs, action=ftraj.action,
                           log_prob=ftraj.log_prob, value=ftraj.value,
                           reward=ftraj.reward, done=ftraj.done)
@@ -260,29 +263,32 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
         mb = n // cfg.minibatches
 
         def update_minibatch(carry, i):
-            params, opt_state = carry
+            params, opt_state, stop = carry
             idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
             grads, aux = jax.grad(loss_fn, has_aux=True)(
                 params, obs[:, idx], action[:, idx], old_lp[idx],
                 old_v[idx], adv[idx], tgt[idx])
             updates, opt_state0 = optimizer.update(grads, opt_state, params)
             if cfg.target_kl > 0:
-                # masked early stop: once the guard has tripped, later
-                # minibatches/epochs become no-ops (scan needs static
-                # structure, so the gradient is computed then discarded)
+                # per-minibatch early stop: the approx-KL is computed on the
+                # *current* params, so the first minibatch whose KL exceeds
+                # the target is itself skipped (spinning-up semantics) and
+                # everything after it becomes a no-op — an epoch-level check
+                # would let up to `minibatches` oversized steps through
+                # before tripping (the round-2 failure mode).  scan needs
+                # static structure, so gradients are computed then discarded.
+                stop = stop | (aux[3] > cfg.target_kl)
                 updates = jax.tree.map(
                     lambda u: jnp.where(stop, jnp.zeros_like(u), u), updates)
                 opt_state0 = jax.tree.map(
                     lambda new, old: jnp.where(stop, old, new),
                     opt_state0, opt_state)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state0), aux
+            return (params, opt_state0, stop), aux
 
-        (params, opt_state), aux = jax.lax.scan(
-            update_minibatch, (params, opt_state),
+        (params, opt_state, stop), aux = jax.lax.scan(
+            update_minibatch, (params, opt_state, stop),
             jnp.arange(cfg.minibatches))
-        if cfg.target_kl > 0:
-            stop = stop | (jnp.mean(aux[3]) > cfg.target_kl)
         return (params, opt_state, key, stop, flat), aux
 
     def train_step(ts: TrainState):
@@ -385,7 +391,11 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
 
     spec = task_registry.ALL_TASKS[env_name]
     if env_params is None:
-        env_params = default_params()
+        # named presets (Mars vehicle/world, attic simple-lander vehicle)
+        # resolve exactly as registry.make() does — without this,
+        # train('Hover3DMars-v0') would silently fly Earth params
+        preset = task_registry.PRESET_PARAMS.get(env_name)
+        env_params = preset() if preset is not None else default_params()
 
     if rollout_mode == 'auto':
         per_device = num_envs // (mesh.devices.size if mesh is not None
@@ -427,14 +437,13 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
             key=ts.key, update_idx=ts.update_idx)
 
     step = jax.jit(train_step, donate_argnums=0)
-    if (jax.default_backend() == 'tpu' and spec.kind in ('lander', 'hover')
-            and num_envs % 128 == 0):
-        # fused Pallas eval: whole evaluation episode in one kernel launch,
-        # bit-identical metric (ops/pallas_policy.py)
-        from gym_copter_tpu.ops.pallas_policy import make_fused_eval_fn
-        evaluate = make_fused_eval_fn(env_params, spec, cfg)
-    else:
-        evaluate = make_eval_fn(env_params, spec, cfg)
+    # XLA scan eval: measured ~2x faster than the single-launch fused eval
+    # kernel at this model size (docs/bench_train.json policy_eval — the
+    # kernel's per-step MLP<->physics relayouts outweigh scan's HBM
+    # round-trips); the metric is bit-identical between the two paths
+    # (tests/test_pallas_policy.py), so training uses the faster one and
+    # ops/pallas_policy.py remains the single-launch serving configuration.
+    evaluate = make_eval_fn(env_params, spec, cfg, num_envs=1024)
     history = []
     best_eval, best_params = -float('inf'), None
     for i in range(num_updates):

@@ -116,12 +116,14 @@ def _one_update_params(target_kl, cfg_kwargs=None, num_envs=16):
 
 
 def test_target_kl_guard_masks_later_epochs():
-    """Trust-region guard semantics (PPOConfig.target_kl): with the
-    threshold set below any achievable KL, only the pre-trip gradient
-    steps apply, so the parameters move strictly less than an unguarded
-    update from the identical state; with an unreachable threshold the
-    masked code path must be a semantic no-op vs target_kl=0 (only
-    ULP-level fusion differences — the added `where`s change how XLA
+    """Trust-region guard semantics (PPOConfig.target_kl): the guard is
+    per-minibatch — the first minibatch whose own approx-KL exceeds the
+    threshold is itself skipped.  With a near-zero threshold only the very
+    first minibatch applies (its KL is ~0 because the params are unchanged
+    since the rollout), so the parameters move strictly less than an
+    unguarded update from the identical state; with an unreachable
+    threshold the masked code path must be a semantic no-op vs target_kl=0
+    (only ULP-level fusion differences — the added `where`s change how XLA
     fuses the update arithmetic)."""
     p0, p_free, m_free = _one_update_params(0.0)
     _, p_huge, _ = _one_update_params(1e9)     # guard present, never trips
