@@ -1,0 +1,250 @@
+#!/usr/bin/env python3
+"""TD3 through the Gymnasium adapter — the reference's own DRL success path.
+
+The reference trains AC-Gym's TD3 (a torch implementation of Fujimoto et
+al. 2018) against `gym.make('gym_copter:Lander-v0')` with `--target 300`
+(/root/reference/attic/drl/Makefile:1-8, attic/drl/README.md:10).  This
+script reproduces that stack end-to-end against THIS framework's adapter:
+a genuine external-style torch learner that only ever touches
+`gymnasium.make('GymCopterTpu/<env>')` — proving a third-party consumer of
+the reference can switch frameworks and train unchanged.
+
+The TD3 implementation is faithful to the paper (and to AC-Gym's defaults):
+twin critics, delayed policy updates (freq 2), target-policy smoothing
+(sigma 0.2, clip 0.5), tau 0.005, batch 256, uniform replay, Gaussian
+exploration noise 0.1, and a random-action warmup.
+
+Usage:
+  python scripts/td3_learn.py --env Lander2D-v0 --target 300 \
+      --out docs/td3_lander2d.json
+"""
+
+import argparse
+import copy
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# the adapter's JAX side runs the single env on CPU: one B=1 env step is
+# dispatch-latency-bound, and this leaves the TPU free for PPO runs
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import gymnasium
+
+
+class Actor(nn.Module):
+    def __init__(self, obs_dim, act_dim):
+        super().__init__()
+        self.l1 = nn.Linear(obs_dim, 256)
+        self.l2 = nn.Linear(256, 256)
+        self.l3 = nn.Linear(256, act_dim)
+
+    def forward(self, s):
+        h = F.relu(self.l1(s))
+        h = F.relu(self.l2(h))
+        return torch.tanh(self.l3(h))
+
+
+class Critic(nn.Module):
+    """Twin Q networks (TD3's clipped double-Q)."""
+
+    def __init__(self, obs_dim, act_dim):
+        super().__init__()
+        self.q1 = nn.Sequential(nn.Linear(obs_dim + act_dim, 256), nn.ReLU(),
+                                nn.Linear(256, 256), nn.ReLU(),
+                                nn.Linear(256, 1))
+        self.q2 = nn.Sequential(nn.Linear(obs_dim + act_dim, 256), nn.ReLU(),
+                                nn.Linear(256, 256), nn.ReLU(),
+                                nn.Linear(256, 1))
+
+    def forward(self, s, a):
+        sa = torch.cat([s, a], dim=1)
+        return self.q1(sa), self.q2(sa)
+
+
+class ReplayBuffer:
+    def __init__(self, obs_dim, act_dim, size):
+        self.size, self.ptr, self.full = size, 0, False
+        self.s = np.zeros((size, obs_dim), np.float32)
+        self.a = np.zeros((size, act_dim), np.float32)
+        self.r = np.zeros((size, 1), np.float32)
+        self.s2 = np.zeros((size, obs_dim), np.float32)
+        self.nd = np.zeros((size, 1), np.float32)
+
+    def add(self, s, a, r, s2, done):
+        i = self.ptr
+        self.s[i], self.a[i], self.r[i], self.s2[i] = s, a, r, s2
+        self.nd[i] = 1.0 - float(done)
+        self.ptr = (i + 1) % self.size
+        self.full = self.full or self.ptr == 0
+
+    def sample(self, batch, rng):
+        hi = self.size if self.full else self.ptr
+        idx = rng.integers(0, hi, size=batch)
+        t = torch.as_tensor
+        return (t(self.s[idx]), t(self.a[idx]), t(self.r[idx]),
+                t(self.s2[idx]), t(self.nd[idx]))
+
+
+class TD3:
+    def __init__(self, obs_dim, act_dim, *, gamma=0.99, tau=0.005,
+                 policy_noise=0.2, noise_clip=0.5, policy_freq=2, lr=3e-4):
+        self.actor = Actor(obs_dim, act_dim)
+        self.actor_t = copy.deepcopy(self.actor)
+        self.critic = Critic(obs_dim, act_dim)
+        self.critic_t = copy.deepcopy(self.critic)
+        self.a_opt = torch.optim.Adam(self.actor.parameters(), lr=lr)
+        self.c_opt = torch.optim.Adam(self.critic.parameters(), lr=lr)
+        self.gamma, self.tau = gamma, tau
+        self.policy_noise, self.noise_clip = policy_noise, noise_clip
+        self.policy_freq = policy_freq
+        self.it = 0
+
+    def act(self, obs):
+        with torch.no_grad():
+            obs = torch.from_numpy(np.array(obs, dtype=np.float32))
+            return self.actor(obs[None])[0].numpy()
+
+    def train_step(self, buffer, batch, rng):
+        self.it += 1
+        s, a, r, s2, nd = buffer.sample(batch, rng)
+        with torch.no_grad():
+            noise = (torch.randn_like(a) * self.policy_noise
+                     ).clamp(-self.noise_clip, self.noise_clip)
+            a2 = (self.actor_t(s2) + noise).clamp(-1.0, 1.0)
+            q1t, q2t = self.critic_t(s2, a2)
+            target = r + nd * self.gamma * torch.min(q1t, q2t)
+        q1, q2 = self.critic(s, a)
+        c_loss = F.mse_loss(q1, target) + F.mse_loss(q2, target)
+        self.c_opt.zero_grad()
+        c_loss.backward()
+        self.c_opt.step()
+
+        if self.it % self.policy_freq == 0:
+            a_loss = -self.critic(s, self.actor(s))[0].mean()
+            self.a_opt.zero_grad()
+            a_loss.backward()
+            self.a_opt.step()
+            for p, pt in zip(self.actor.parameters(),
+                             self.actor_t.parameters()):
+                pt.data.mul_(1 - self.tau).add_(self.tau * p.data)
+            for p, pt in zip(self.critic.parameters(),
+                             self.critic_t.parameters()):
+                pt.data.mul_(1 - self.tau).add_(self.tau * p.data)
+
+
+def evaluate(env, agent, episodes=10):
+    total = 0.0
+    for ep in range(episodes):
+        obs, _ = env.reset(seed=10_000 + ep)
+        done = False
+        while not done:
+            obs, r, term, trunc, _ = env.step(agent.act(obs))
+            total += r
+            done = term or trunc
+    return total / episodes
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--env', default='Lander2D-v0')
+    p.add_argument('--target', type=float, default=300.0,
+                   help='stop when eval return reaches this '
+                        '(attic/drl/Makefile:2)')
+    p.add_argument('--max-steps', type=int, default=300_000)
+    p.add_argument('--start-steps', type=int, default=10_000)
+    p.add_argument('--expl-noise', type=float, default=0.1)
+    p.add_argument('--batch', type=int, default=256)
+    p.add_argument('--eval-every', type=int, default=5_000)
+    p.add_argument('--eval-episodes', type=int, default=10)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--vehicle', choices=['attic', 'active'], default='attic',
+                   help="'attic' (B=5e-6, hover throttle ~0.52) is the "
+                        "vehicle the reference's TD3 Makefile era actually "
+                        "trained on (attic/mars/dynamics/djiphantom.py:51); "
+                        "the active B=5e-3 puts hover at motor 0.0166 — a "
+                        "sliver of the [-1,1] action range no [-1,1]-"
+                        "normalized learner conditions well on")
+    p.add_argument('--out', default='docs/td3_lander2d.json')
+    p.add_argument('--checkpoint', default=None,
+                   help='torch .pt file for the best policy '
+                        '(the Makefile\'s --checkpoint)')
+    args = p.parse_args()
+
+    torch.manual_seed(args.seed)
+    rng = np.random.default_rng(args.seed)
+
+    import gym_copter_tpu.compat.gym_adapter  # registers GymCopterTpu ids
+    make_kwargs = {}
+    if args.vehicle == 'attic':
+        from gym_copter_tpu.core import vehicles
+        from gym_copter_tpu.core.types import EnvParams
+        make_kwargs['params'] = EnvParams(vehicle=vehicles.DJI_PHANTOM_ATTIC)
+    env = gymnasium.make(f'GymCopterTpu/{args.env}', **make_kwargs)
+    eval_env = gymnasium.make(f'GymCopterTpu/{args.env}', **make_kwargs)
+    obs_dim = env.observation_space.shape[0]
+    act_dim = env.action_space.shape[0]
+
+    agent = TD3(obs_dim, act_dim)
+    buffer = ReplayBuffer(obs_dim, act_dim, size=args.max_steps)
+
+    curve, best = [], -float('inf')
+    obs, _ = env.reset(seed=args.seed)
+    ep_ret, ep_len, episodes = 0.0, 0, 0
+    t0 = time.time()
+    for step in range(1, args.max_steps + 1):
+        if step <= args.start_steps:
+            action = env.action_space.sample()
+        else:
+            action = np.clip(
+                agent.act(obs)
+                + rng.normal(0, args.expl_noise, size=act_dim), -1, 1
+            ).astype(np.float32)
+        obs2, r, term, trunc, _ = env.step(action)
+        buffer.add(obs, action, r, obs2, term and not trunc)
+        obs = obs2
+        ep_ret += r
+        ep_len += 1
+        if term or trunc:
+            obs, _ = env.reset(seed=args.seed + episodes + 1)
+            episodes += 1
+            ep_ret, ep_len = 0.0, 0
+        if step > args.start_steps:
+            agent.train_step(buffer, args.batch, rng)
+        if step % args.eval_every == 0:
+            ret = evaluate(eval_env, agent, args.eval_episodes)
+            curve.append({'step': step, 'eval_return': float(ret)})
+            print(f'step {step:7d}  eval {ret:8.2f}  '
+                  f'({step / (time.time() - t0):.0f} steps/s)', flush=True)
+            if ret > best:
+                best = ret
+                if args.checkpoint:
+                    torch.save(agent.actor.state_dict(), args.checkpoint)
+            if ret >= args.target:
+                print(f'target {args.target} reached at step {step}')
+                break
+
+    summary = {
+        'env': args.env, 'seed': args.seed, 'target': args.target,
+        'best_eval_return': best, 'steps': curve[-1]['step'] if curve else 0,
+        'reached_target': best >= args.target,
+        'wall_seconds': time.time() - t0,
+        'curve': curve,
+    }
+    with open(args.out, 'w') as f:
+        json.dump(summary, f, indent=1)
+    print('wrote', args.out, '| best eval', round(best, 1))
+
+
+if __name__ == '__main__':
+    main()
