@@ -342,6 +342,11 @@ def init_train_state(key, env_params: EnvParams, spec: TaskSpec,
                       update_idx=jnp.zeros((), jnp.int32))
 
 
+# eval batch used by train()'s learning-curve metric; tests that re-evaluate
+# a returned policy must use the same batch to reproduce the curve value
+EVAL_NUM_ENVS = 1024
+
+
 def make_eval_fn(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
                  num_envs: int = 256, num_steps: int = 999, seed: int = 1000):
     """Deterministic-policy evaluation: fresh episodes, mean actions, return
@@ -443,7 +448,7 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
     # round-trips); the metric is bit-identical between the two paths
     # (tests/test_pallas_policy.py), so training uses the faster one and
     # ops/pallas_policy.py remains the single-launch serving configuration.
-    evaluate = make_eval_fn(env_params, spec, cfg, num_envs=1024)
+    evaluate = make_eval_fn(env_params, spec, cfg, num_envs=EVAL_NUM_ENVS)
     history = []
     best_eval, best_params = -float('inf'), None
     for i in range(num_updates):

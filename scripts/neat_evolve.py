@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Evolve a NEAT-style controller — the NEAT-Gym `neat-evolve.py config/
+lander2d` equivalent (attic/neat/README.md:17-23), TPU-native.
+
+Defaults mirror attic/neat/config/lander2d: pop_size 96, episode_reps 10,
+fitness_threshold 300, env Lander2D-v0.  The whole population x reps batch
+evaluates as one jitted scan per generation (learn/neuroevolution.py).
+
+    python scripts/neat_evolve.py --env Lander2D-v0 --out docs/neat_lander2d.json
+
+Writes a JSON learning record (per-generation best/mean fitness, robust
+champion evaluation over fresh episodes) plus the champion genome as .npz —
+the analogue of NEAT-Gym's models/<env>/<fitness>.dat.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gym_copter_tpu.learn import neuroevolution as ne
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--env', default='Lander2D-v0')
+    p.add_argument('--pop', type=int, default=96)
+    p.add_argument('--reps', type=int, default=10)
+    p.add_argument('--target', type=float, default=300.0)
+    p.add_argument('--hidden', type=int, default=16)
+    p.add_argument('--generations', type=int, default=1000)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--eval-reps', type=int, default=100)
+    p.add_argument('--anchor', default='hover', choices=['hover', 'direct'])
+    p.add_argument('--out', default=None, help='JSON record path')
+    p.add_argument('--save-genome', default=None, help='champion .npz path')
+    args = p.parse_args()
+
+    cfg = ne.NeatConfig(pop_size=args.pop, episode_reps=args.reps,
+                        fitness_threshold=args.target, hidden=args.hidden,
+                        action_anchor=args.anchor)
+    t0 = time.time()
+    champ, hist, _ = ne.evolve_population(
+        args.env, cfg, max_generations=args.generations, seed=args.seed)
+    wall = time.time() - t0
+
+    robust, _ = ne.evaluate_champion(champ, args.env, cfg,
+                                     reps=args.eval_reps)
+    best = max(h['best_fitness'] for h in hist)
+    print(f'{args.env}: best fitness {best:.1f} in {len(hist)} generations '
+          f'({wall:.0f}s); champion over {args.eval_reps} fresh episodes: '
+          f'{robust:.1f} (target {args.target})')
+
+    record = {
+        'env': args.env, 'algorithm': 'neat-style GA (masked topology)',
+        'config': {'pop_size': args.pop, 'episode_reps': args.reps,
+                   'fitness_threshold': args.target, 'hidden': args.hidden,
+                   'seed': args.seed, 'action_anchor': args.anchor},
+        'generations_run': len(hist),
+        'best_fitness': best,
+        'reached_target': bool(best >= args.target),
+        'champion_eval_mean': robust,
+        'champion_eval_reps': args.eval_reps,
+        'wall_seconds': wall,
+        'env_steps_per_generation': args.pop * args.reps * cfg.max_steps,
+        'curve': hist,
+    }
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(record, f)
+        print(f'wrote {args.out}')
+    if args.save_genome:
+        np.savez(args.save_genome,
+                 **{k: np.asarray(v) for k, v in champ._asdict().items()})
+        print(f'wrote {args.save_genome}')
+
+
+if __name__ == '__main__':
+    main()

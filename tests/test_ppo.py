@@ -155,6 +155,7 @@ def test_keep_best_returns_best_evaluated_policy():
                          cfg=cfg, log_every=1, keep_best=True,
                          callback=lambda i, m: None)
     best_curve = max(m['eval_return'] for _, m in hist)
-    evaluate = ppo.make_eval_fn(default_params(), tasks.HOVER_3D, cfg)
+    evaluate = ppo.make_eval_fn(default_params(), tasks.HOVER_3D, cfg,
+                                num_envs=ppo.EVAL_NUM_ENVS)
     got = float(evaluate(ts.params)[0])
     np.testing.assert_allclose(got, best_curve, rtol=1e-6)
