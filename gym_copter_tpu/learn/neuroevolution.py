@@ -161,12 +161,21 @@ def _resolve(env_name: str, env_params: Optional[EnvParams]):
 
 def make_fitness_fn(env_name: str, cfg: NeatConfig,
                     env_params: Optional[EnvParams] = None,
-                    reps: Optional[int] = None, seed: int = 1000):
+                    reps: Optional[int] = None, seed: int = 1000,
+                    mesh=None):
     """fitness(genome, episode) -> (P,) mean first-episode return over
     `reps` fresh environments per genome — the whole population evaluated
     as ONE jitted scan over pop*reps lockstep envs.  `episode` indexes the
     reset randomness so each generation sees fresh wind kicks (NEAT-Gym
-    episodes are freshly seeded too)."""
+    episodes are freshly seeded too).
+
+    With `mesh` (a 1-D env-axis device mesh, parallel/sharding.make_mesh),
+    the env batch shards across devices (each device evaluates a
+    contiguous slice of genomes, zero collectives until the final (P,)
+    gather) and the genome replicates.  Requires pop_size % n_devices == 0
+    so the (O, B) -> (O, P, R) reshape stays shard-aligned.  Reset
+    randomness is keyed by global env id, so sharded fitness equals
+    single-device fitness."""
     spec, env_params = _resolve(env_name, env_params)
     P = cfg.pop_size
     R = reps if reps is not None else cfg.episode_reps
@@ -175,6 +184,12 @@ def make_fitness_fn(env_name: str, cfg: NeatConfig,
              else None)
     base_key = jax.random.PRNGKey(seed)
     env_ids = jnp.arange(B, dtype=jnp.int32)
+    if mesh is not None:
+        from gym_copter_tpu.parallel import sharding as sh
+        if P % mesh.devices.size:
+            raise ValueError(f'pop_size {P} not divisible by '
+                             f'{mesh.devices.size} devices')
+        env_ids = jax.device_put(env_ids, sh.env_sharding(mesh))
 
     @jax.jit
     def fitness(genome: Genome, episode) -> jnp.ndarray:
@@ -291,7 +306,7 @@ def evolve_population(env_name: str = 'Lander2D-v0',
                       env_params: Optional[EnvParams] = None,
                       max_generations: int = 500, seed: int = 0,
                       eval_seed: int = 1000, log_every: int = 10,
-                      callback=None):
+                      callback=None, mesh=None):
     """The NEAT-Gym `neat-evolve.py` equivalent: evolve until the
     population's best mean-over-reps return reaches fitness_threshold
     (fitness_criterion = max) or max_generations.
@@ -300,7 +315,8 @@ def evolve_population(env_name: str = 'Lander2D-v0',
     dicts, final population).  One device dispatch per generation for
     fitness + one for evolution."""
     spec, env_params = _resolve(env_name, env_params)
-    fitness_fn = make_fitness_fn(env_name, cfg, env_params, seed=eval_seed)
+    fitness_fn = make_fitness_fn(env_name, cfg, env_params, seed=eval_seed,
+                                 mesh=mesh)
     evolve_fn = make_evolve_fn(cfg)
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)

@@ -15,10 +15,12 @@ the analogue of NEAT-Gym's models/<env>/<fitness>.dat.
 
 import argparse
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from gym_copter_tpu.learn import neuroevolution as ne

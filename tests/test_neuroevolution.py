@@ -113,6 +113,31 @@ def test_evolution_runs_and_tracks_champion():
     assert jnp.isfinite(mean) and jnp.isfinite(best_seen)
 
 
+def test_sharded_fitness_matches_single_device():
+    """Population evaluation sharded over the 8-device mesh must match the
+    unsharded fitness (randomness keyed by global env id — layout
+    independence, envs/base.py contract)."""
+    from gym_copter_tpu.parallel import sharding as sh
+    if len(jax.devices()) < 2:
+        pytest.skip('needs the virtual multi-device mesh')
+    cfg = dataclasses.replace(CFG, pop_size=16, episode_reps=2)
+    g = _pop(cfg=cfg)
+    plain = ne.make_fitness_fn('Lander2D-v0', cfg)(g, jnp.int32(3))
+    mesh = sh.make_mesh()
+    sharded = ne.make_fitness_fn('Lander2D-v0', cfg, mesh=mesh)(
+        g, jnp.int32(3))
+    assert jnp.allclose(plain, sharded, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_fitness_rejects_misaligned_pop():
+    from gym_copter_tpu.parallel import sharding as sh
+    if len(jax.devices()) != 8:
+        pytest.skip('needs the 8-device mesh')
+    cfg = dataclasses.replace(CFG, pop_size=6)
+    with pytest.raises(ValueError):
+        ne.make_fitness_fn('Lander2D-v0', cfg, mesh=sh.make_mesh())
+
+
 def test_seeded_determinism():
     cfg = dataclasses.replace(CFG, pop_size=4, max_steps=32)
     _, h1, _ = ne.evolve_population('Hover1D-v0', cfg, max_generations=2,
