@@ -20,11 +20,21 @@ tunnel round-trip latency); the differential with forced host reads cancels
 both.  Sanity: the kernel's per-env episode counts are checked against the
 XLA path before timing.
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Regression gate: per-rep variance is reported (spread_pct) and the result
+is compared against the last entry of docs/bench_history.json — a drop of
+more than 5% beyond the measured noise prints a WARNING to stderr (the
+round-3 headline drifted 7.33G -> 7.04G with nothing watching).  The new
+measurement is appended to the history file.
+
+Prints exactly one JSON line (stdout):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "spread_pct": N, "vs_last_pct": N}
 """
 
+import datetime
 import json
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -76,12 +86,45 @@ def main():
                                                reps=REPS)
     steps_per_sec = res['steps_per_sec']
 
-    print(json.dumps({
+    # regression gate vs the last recorded run (docs/bench_history.json)
+    hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'docs', 'bench_history.json')
+    history = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            history = json.load(f)
+    vs_last_pct = None
+    if history:
+        last = history[-1]['value']
+        vs_last_pct = (steps_per_sec - last) / last * 100.0
+        # warn when the drop exceeds the measured noise plus the 5% gate
+        if vs_last_pct < -(5.0 + res['spread_pct']):
+            print(f'WARNING: headline bench regressed {vs_last_pct:.1f}% vs '
+                  f'last recorded run ({last:.3g} env-steps/s) — beyond the '
+                  f'{res["spread_pct"]:.1f}% measured spread + 5% gate',
+                  file=sys.stderr)
+    history.append({
+        'date': datetime.datetime.now(datetime.timezone.utc)
+                .strftime('%Y-%m-%dT%H:%M:%SZ'),
+        'value': round(steps_per_sec),
+        'spread_pct': round(res['spread_pct'], 2),
+        'samples': [round(s) for s in res['samples']],
+        'backend': jax.default_backend(),
+    })
+    os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+    with open(hist_path, 'w') as f:
+        json.dump(history, f, indent=1)
+
+    out = {
         'metric': 'lander3d_env_steps_per_sec_4096envs_1chip',
         'value': round(steps_per_sec),
         'unit': 'env-steps/s',
         'vs_baseline': round(steps_per_sec / NORTH_STAR, 3),
-    }))
+        'spread_pct': round(res['spread_pct'], 2),
+    }
+    if vs_last_pct is not None:
+        out['vs_last_pct'] = round(vs_last_pct, 2)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

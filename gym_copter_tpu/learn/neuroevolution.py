@@ -162,7 +162,7 @@ def _resolve(env_name: str, env_params: Optional[EnvParams]):
 def make_fitness_fn(env_name: str, cfg: NeatConfig,
                     env_params: Optional[EnvParams] = None,
                     reps: Optional[int] = None, seed: int = 1000,
-                    mesh=None):
+                    mesh=None, return_episodes: bool = False):
     """fitness(genome, episode) -> (P,) mean first-episode return over
     `reps` fresh environments per genome — the whole population evaluated
     as ONE jitted scan over pop*reps lockstep envs.  `episode` indexes the
@@ -210,7 +210,8 @@ def make_fitness_fn(env_name: str, cfg: NeatConfig,
                 jnp.zeros(B, bool))
         (_, _, _, total, _), _ = jax.lax.scan(step_fn, init, None,
                                               length=cfg.max_steps)
-        return total.reshape(P, R).mean(axis=1)
+        per_episode = total.reshape(P, R)
+        return per_episode if return_episodes else per_episode.mean(axis=1)
 
     return fitness
 
@@ -247,13 +248,18 @@ def make_evolve_fn(cfg: NeatConfig):
             cw = jnp.where(pick_b, w[pb], w[pa])
             cm = jnp.where(pick_b, m[pb], m[pa])
             # weight mutation (on every connection; disabled ones carry
-            # their weight silently, as NEAT genes do)
-            perturb = jax.random.bernoulli(next(keys),
-                                           cfg.weight_mutate_rate, w.shape)
+            # their weight silently, as NEAT genes do).  Perturb and replace
+            # are mutually exclusive per gene, neat-python semantics: one
+            # uniform draw r, r < mutate_rate perturbs, else r <
+            # mutate_rate + replace_rate replaces (genome.py mutate logic) —
+            # independent application would make the effective statistics
+            # drift from the cited config rates.
+            r = jax.random.uniform(next(keys), w.shape)
+            perturb = r < cfg.weight_mutate_rate
+            replace = (~perturb) & (r < cfg.weight_mutate_rate
+                                    + cfg.weight_replace_rate)
             cw = cw + jnp.where(perturb, cfg.weight_mutate_power
                                 * jax.random.normal(next(keys), w.shape), 0.0)
-            replace = jax.random.bernoulli(next(keys),
-                                           cfg.weight_replace_rate, w.shape)
             cw = jnp.where(replace, cfg.weight_init_stdev
                            * jax.random.normal(next(keys), w.shape), cw)
             cw = jnp.clip(cw, -cfg.weight_clip, cfg.weight_clip)
@@ -313,10 +319,21 @@ def evolve_population(env_name: str = 'Lander2D-v0',
 
     Returns (champion Genome (pop axis 1), history list of per-generation
     dicts, final population).  One device dispatch per generation for
-    fitness + one for evolution."""
+    fitness + one for evolution.
+
+    Champion selection: each generation's top-1 genome is re-scored on a
+    FIXED held-out episode set (seed eval_seed+1, one episode index) and
+    the champion is the best *held-out* scorer across generations.  Raw
+    per-generation fitness uses fresh wind per generation, so without the
+    re-score a genome lucky on an easy generation could displace a
+    genuinely better later genome (training fitness still drives selection
+    and the threshold check, matching NEAT's fitness_criterion = max)."""
     spec, env_params = _resolve(env_name, env_params)
     fitness_fn = make_fitness_fn(env_name, cfg, env_params, seed=eval_seed,
                                  mesh=mesh)
+    holdout_fn = make_fitness_fn(
+        env_name, dataclasses.replace(cfg, pop_size=1), env_params,
+        reps=cfg.episode_reps, seed=eval_seed + 1)
     evolve_fn = make_evolve_fn(cfg)
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
@@ -329,11 +346,13 @@ def evolve_population(env_name: str = 'Lander2D-v0',
         best, mean = float(fit[best_i]), float(fit.mean())
         enabled = float(genome.m_in.mean() + genome.m_rec.mean()
                         + genome.m_out.mean()) / 3.0
+        cand = take_genome(genome, best_i)
+        holdout = float(holdout_fn(cand, jnp.int32(2 ** 30))[0])
         rec = {'generation': gen, 'best_fitness': best, 'mean_fitness': mean,
-               'hidden_conn_frac': enabled}
+               'holdout_best': holdout, 'hidden_conn_frac': enabled}
         history.append(rec)
-        if best > best_ever:
-            best_ever, champion = best, take_genome(genome, best_i)
+        if holdout > best_ever:
+            best_ever, champion = holdout, cand
         if callback is not None:
             callback(rec)
         elif gen % log_every == 0:
@@ -350,8 +369,10 @@ def evaluate_champion(champion: Genome, env_name: str, cfg: NeatConfig,
                       env_params: Optional[EnvParams] = None,
                       reps: int = 100, seed: int = 77, episode: int = 10000):
     """Robust post-hoc score: the champion on `reps` fresh episodes (the
-    NEAT-Gym `neat-test.py` role).  Returns (mean, per-episode returns)."""
+    NEAT-Gym `neat-test.py` role).  Returns (mean, per-episode returns of
+    shape (reps,)) — the per-episode spread is recoverable."""
     one = dataclasses.replace(cfg, pop_size=1)
-    fn = make_fitness_fn(env_name, one, env_params, reps=reps, seed=seed)
-    fit = fn(champion, jnp.int32(episode))
-    return float(fit[0]), fit
+    fn = make_fitness_fn(env_name, one, env_params, reps=reps, seed=seed,
+                         return_episodes=True)
+    per_episode = fn(champion, jnp.int32(episode))[0]
+    return float(per_episode.mean()), per_episode

@@ -64,6 +64,19 @@ class PPOConfig(NamedTuple):
     log_std_max: float = 0.5
     anneal_lr: bool = True
     anneal_lr_floor: float = 0.05
+    # minibatch shuffle granularity: the T*B rollout buffer is shuffled by
+    # permuting contiguous BLOCKS of this many transitions rather than
+    # single elements.  A block is `shuffle_block` consecutive envs at one
+    # timestep (flat index = t*B + b), i.e. independent environments, so
+    # intra-block correlation is negligible — but the TPU cost difference
+    # is huge: an element-wise permutation gather of the 524k-transition
+    # buffer ran at 100 ms/update vs 18 ms for block shuffling (the whole
+    # remaining update included; docs/profile_ppo.json, round 4).  XLA
+    # lowers 4-byte-granularity gathers to scalar loads; block gathers move
+    # 512-byte+ contiguous runs at HBM bandwidth.  1 recovers the exact
+    # element-wise semantics.  If T*B % shuffle_block != 0 the trainer
+    # falls back to 1 automatically.
+    shuffle_block: int = 128
     # trust-region guard: the first MINIBATCH whose approx-KL (measured on
     # the current params, before its own update) exceeds this is skipped,
     # along with everything after it in the update (gradients computed but
@@ -147,16 +160,16 @@ class Transition(NamedTuple):
 
 
 def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
-                    base_key, env_ids, optimizer=None,
-                    rollout_mode: str = 'scan', interpret=None, mesh=None):
+                    base_key, env_ids, optimizer=None, mesh=None):
     """Builds the jitted PPO train step closed over static config.
 
-    rollout_mode: 'scan' (XLA lax.scan, any task) or 'fused' (the whole
-    exploration rollout as one Pallas kernel — ops/pallas_actor.py;
-    batch a multiple of 8*128 per device on hardware).  With a `mesh`,
-    'fused' runs the kernel per-device under shard_map (each shard must
-    satisfy the batch constraint); 'scan' relies on the automatic SPMD
-    partitioner."""
+    The exploration rollout is an XLA `lax.scan`; under a `mesh` the
+    automatic SPMD partitioner shards it along the env axis.  (A fused
+    Pallas rollout kernel was built and benchmarked in rounds 2-3 and
+    retired in round 4: after the block-shuffle update-phase fix the scan
+    rollout is ~5 ms of a ~23 ms update, so even an infinitely fast kernel
+    could not repay its per-step MLP<->physics relayout cost — see
+    PARITY.md "Policy-in-kernel".)"""
     hover = hover_motor_value(env_params)
     if optimizer is None:
         optimizer = optax.chain(
@@ -183,36 +196,7 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
             step_fn, (env_state, obs, key), None, length=cfg.rollout_steps)
         return env_state, obs, key, traj
 
-    def fused_rollout(params, env_state, obs, key):
-        from gym_copter_tpu.ops.pallas_actor import fused_training_rollout
-
-        # keep the kernel's sampling distribution bit-identical to the one
-        # the loss recomputes: clamp log_std before it enters the kernel
-        params = dict(params, log_std=_clipped_log_std(params, cfg))
-        key, sub = jax.random.split(key)
-        seed = jax.random.randint(sub, (), 0, 2 ** 31 - 1, jnp.int32)
-        if mesh is not None:
-            from gym_copter_tpu.parallel.sharding import (
-                sharded_fused_training_rollout)
-            ftraj, env_state = sharded_fused_training_rollout(
-                params, env_state, cfg.rollout_steps, env_params, spec,
-                mesh, obs_scale=cfg.obs_scale,
-                action_bias=cfg.init_action_bias, hover=float(hover),
-                seed=seed, env_ids=env_ids, interpret=interpret)
-        else:
-            ftraj, env_state = fused_training_rollout(
-                params, env_state, cfg.rollout_steps, env_params, spec,
-                obs_scale=cfg.obs_scale, action_bias=cfg.init_action_bias,
-                hover=float(hover), seed=seed, env_ids=env_ids,
-                interpret=interpret)
-        traj = Transition(obs=ftraj.obs, action=ftraj.action,
-                          log_prob=ftraj.log_prob, value=ftraj.value,
-                          reward=ftraj.reward, done=ftraj.done)
-        obs = base._get_obs(env_state.dyn.x, env_state.steps, env_params,
-                            spec)
-        return env_state, obs, key, traj
-
-    rollout = fused_rollout if rollout_mode == 'fused' else scan_rollout
+    rollout = scan_rollout
 
     def compute_gae(traj: Transition, last_value):
         def scan_fn(gae, tr):
@@ -256,18 +240,33 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
 
     def update_epoch(carry, _):
         params, opt_state, key, stop, flat = carry
-        obs, action, old_lp, old_v, adv, tgt = flat
-        n = obs.shape[-1]
+        n = flat[0].shape[-1]
         key, sub = jax.random.split(key)
-        perm = jax.random.permutation(sub, n)
+        # block shuffle: permute contiguous blocks once per epoch, then take
+        # contiguous minibatch slices — identical to gathering with a
+        # blockwise permutation, at HBM bandwidth instead of scalar-gather
+        # speed (see PPOConfig.shuffle_block)
+        block = cfg.shuffle_block if n % cfg.shuffle_block == 0 else 1
+        nblocks = n // block
+        perm = jax.random.permutation(sub, nblocks)
+
+        def shuffle(x):
+            xb = x.reshape(*x.shape[:-1], nblocks, block)
+            return jnp.take(xb, perm, axis=-2).reshape(*x.shape)
+
+        obs, action, old_lp, old_v, adv, tgt = (
+            jax.tree.map(shuffle, flat))
         mb = n // cfg.minibatches
 
         def update_minibatch(carry, i):
             params, opt_state, stop = carry
-            idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+
+            def slc(x):
+                return jax.lax.dynamic_slice_in_dim(x, i * mb, mb, axis=-1)
+
             grads, aux = jax.grad(loss_fn, has_aux=True)(
-                params, obs[:, idx], action[:, idx], old_lp[idx],
-                old_v[idx], adv[idx], tgt[idx])
+                params, slc(obs), slc(action), slc(old_lp),
+                slc(old_v), slc(adv), slc(tgt))
             updates, opt_state0 = optimizer.update(grads, opt_state, params)
             if cfg.target_kl > 0:
                 # per-minibatch early stop: the approx-KL is computed on the
@@ -348,7 +347,8 @@ EVAL_NUM_ENVS = 1024
 
 
 def make_eval_fn(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
-                 num_envs: int = 256, num_steps: int = 999, seed: int = 1000):
+                 num_envs: int = EVAL_NUM_ENVS, num_steps: int = 999,
+                 seed: int = 1000):
     """Deterministic-policy evaluation: fresh episodes, mean actions, return
     per episode averaged over the batch — the learning-curve metric
     (crashing early scores ~140 on Hover3D, perfect hovering ~999)."""
@@ -384,13 +384,10 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
           num_updates: int = 200, seed: int = 0,
           cfg: PPOConfig = PPOConfig(), env_params: EnvParams = None,
           mesh=None, log_every: int = 10, callback=None,
-          rollout_mode: str = 'auto', keep_best: bool = False):
+          keep_best: bool = False):
     """Host-side training loop (convenience wrapper; the real work is the
     jitted train_step).  If `mesh` is given, env state is sharded along the
-    batch axis and params replicated before stepping.  rollout_mode='fused'
-    runs the exploration rollout as one Pallas kernel (TPU, lander/hover,
-    num_envs % 1024 == 0 — see make_train_step); the default 'auto' picks
-    it whenever those conditions hold (~4x faster updates on one v5e)."""
+    batch axis and params replicated before stepping."""
     from gym_copter_tpu.envs import tasks as task_registry
     from gym_copter_tpu.envs.registry import default_params
 
@@ -401,14 +398,6 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
         # train('Hover3DMars-v0') would silently fly Earth params
         preset = task_registry.PRESET_PARAMS.get(env_name)
         env_params = preset() if preset is not None else default_params()
-
-    if rollout_mode == 'auto':
-        per_device = num_envs // (mesh.devices.size if mesh is not None
-                                  else 1)
-        rollout_mode = 'fused' if (
-            jax.default_backend() == 'tpu'
-            and spec.kind in ('lander', 'hover') and per_device % 1024 == 0
-        ) else 'scan'
 
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.PRNGKey(seed + 1)
@@ -427,9 +416,8 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
             optax.adam(schedule),
         )
     train_step, optimizer = make_train_step(env_params, spec, cfg, base_key,
-                                            env_ids,
-                                            rollout_mode=rollout_mode,
-                                            mesh=mesh, optimizer=optimizer)
+                                            env_ids, mesh=mesh,
+                                            optimizer=optimizer)
     ts = init_train_state(key, env_params, spec, cfg, num_envs, optimizer)
 
     if mesh is not None:
@@ -442,12 +430,6 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
             key=ts.key, update_idx=ts.update_idx)
 
     step = jax.jit(train_step, donate_argnums=0)
-    # XLA scan eval: measured ~2x faster than the single-launch fused eval
-    # kernel at this model size (docs/bench_train.json policy_eval — the
-    # kernel's per-step MLP<->physics relayouts outweigh scan's HBM
-    # round-trips); the metric is bit-identical between the two paths
-    # (tests/test_pallas_policy.py), so training uses the faster one and
-    # ops/pallas_policy.py remains the single-launch serving configuration.
     evaluate = make_eval_fn(env_params, spec, cfg, num_envs=EVAL_NUM_ENVS)
     history = []
     best_eval, best_params = -float('inf'), None

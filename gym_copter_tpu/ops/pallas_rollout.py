@@ -92,8 +92,7 @@ def motor_mix_terms(m4, params: EnvParams, dtype):
     """Eq.6 motor speeds -> thrust/torque accelerations, with the exact op
     order of core/dynamics.step:120-135.  m4 is (4, B) mixed motor values;
     returns (bz, u2ix, u3iy, u4iz, omega) = (-U1/M, U2/Ix, U3/Iy, U4/Iz,
-    rotor disturbance), each (B,).  Pure jnp — also used INSIDE the fused
-    policy kernel (ops/pallas_policy.py), where it runs per step."""
+    rotor disturbance), each (B,).  Pure jnp, usable inside kernels."""
     vp = params.vehicle
     omegas = m4 * vp.maxrpm * math.pi / 30.0
     o2 = omegas * omegas
@@ -195,10 +194,10 @@ def _reset_constants(params: EnvParams, spec: TaskSpec):
 
 def make_env_step(params: EnvParams, spec: TaskSpec,
                   shape: Tuple[int, int], random_reset: bool):
-    """Build the in-kernel environment transition, shared by the
-    constant-action rollout kernel below and the fused policy-eval kernel
-    (ops/pallas_policy.py).  All physics / reward / termination constants
-    are closed over as Python floats so they compile to immediates.
+    """Build the in-kernel environment transition used by the
+    constant-action rollout kernel below.  All physics / reward /
+    termination constants are closed over as Python floats so they compile
+    to immediates.
 
     Returns env_step(carry, u, eid, salt) -> (carry', reward, done) where
       carry = (xs 12-tuple, ps 6-tuple, status, ticks, steps, pshape, ep),

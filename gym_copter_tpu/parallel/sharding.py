@@ -67,58 +67,6 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, jax.tree.map(lambda _: replicated(mesh), tree))
 
 
-def sharded_fused_training_rollout(net_params, state, num_steps: int,
-                                   env_params, spec, mesh: Mesh, *,
-                                   obs_scale, action_bias, hover, seed,
-                                   env_ids=None,
-                                   axis: str = ENV_AXIS, interpret=None):
-    """Multi-chip fused PPO rollout: every device runs the
-    `ops.pallas_actor.fused_training_rollout` kernel on its env shard with
-    replicated policy parameters; per-device exploration-noise streams are
-    decorrelated by folding the mesh position into the noise seed, while the
-    reset-kick hash keeps the GLOBAL (env_ids, episode, seed) key on every
-    shard — kicks are bit-identical on any mesh layout (envs/base.py:16-19).
-    Environments never communicate, so the rollout itself needs zero
-    collectives — the PPO gradient all-reduce downstream is the only
-    cross-device traffic.
-
-    env_ids: (B,) GLOBAL env ids (default arange(B)).
-    Returns (FusedTrajectory, EnvState) with trajectory/state leaves
-    sharded along the batch axis.
-    """
-    try:
-        shard_map = jax.shard_map
-    except AttributeError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
-    from gym_copter_tpu.ops import pallas_actor as pa
-
-    if env_ids is None:
-        env_ids = jnp.arange(state.dyn.x.shape[-1], dtype=jnp.int32)
-
-    state_specs = jax.tree.map(
-        lambda a: P(*([None] * (np.ndim(a) - 1) + [axis])), state)
-    traj_specs = pa.FusedTrajectory(
-        obs=P(None, None, axis), action=P(None, None, axis),
-        log_prob=P(None, axis), value=P(None, axis),
-        reward=P(None, axis), done=P(None, axis))
-
-    def local(net_params, state, env_ids, seed):
-        dev_seed = seed + jax.lax.axis_index(axis) * 7919
-        return pa.fused_training_rollout(
-            net_params, state, num_steps, env_params, spec,
-            obs_scale=obs_scale, action_bias=action_bias, hover=hover,
-            seed=dev_seed, kick_salt=seed, env_ids=env_ids,
-            interpret=interpret)
-
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(), state_specs, P(axis), P()),
-                   out_specs=(traj_specs, state_specs),
-                   check_vma=False)
-    return fn(net_params, state, jnp.asarray(env_ids, jnp.int32),
-              jnp.asarray(seed, jnp.int32))
-
-
 _SHARDED_ROLLOUT_CACHE = {}
 
 

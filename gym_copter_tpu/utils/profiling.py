@@ -34,22 +34,49 @@ def timed_host_sync(fn: Callable[[], float], reps: int) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+def differential_samples(run, t_lo: int, t_hi: int, *,
+                         batch: int, reps: int = 5) -> list:
+    """Per-rep marginal throughput samples of `run(num_steps)`.
+
+    Each rep times one (t_lo, t_hi) pair and yields its own marginal
+    steps/s, so the caller can report median AND spread — a single
+    aggregated number hides tunnel-noise variance (the round-3 headline
+    drifted -4% with no way to tell noise from regression)."""
+    run(t_lo)  # warm-up / compile
+    run(t_hi)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(t_lo)
+        d_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(t_hi)
+        d_hi = time.perf_counter() - t0
+        marg = max(d_hi - d_lo, 1e-12) / (t_hi - t_lo)
+        samples.append(batch / marg)
+    return samples
+
+
 def differential_steps_per_sec(run, t_lo: int, t_hi: int, *,
                                batch: int, reps: int = 5) -> dict:
     """Marginal throughput of `run(num_steps) -> host-synced result`.
 
-    Returns {'steps_per_sec', 'ns_per_iter', 't_lo_s', 't_hi_s'} where
-    steps_per_sec counts batch * steps and ns_per_iter is the marginal
-    time of one batched iteration.
+    Returns {'steps_per_sec', 'ns_per_iter', 'samples', 'spread_pct'}:
+    steps_per_sec is the MEDIAN of per-rep differential samples (a mean of
+    lo/hi aggregates lets one slow sample skew the estimate), samples the
+    raw per-rep values, spread_pct their relative stddev in percent.
     """
-    d_lo = timed_host_sync(lambda: run(t_lo), reps)
-    d_hi = timed_host_sync(lambda: run(t_hi), reps)
-    marg = max(d_hi - d_lo, 1e-12) / (t_hi - t_lo)
+    import statistics
+
+    samples = differential_samples(run, t_lo, t_hi, batch=batch, reps=reps)
+    med = statistics.median(samples)
+    spread = (statistics.pstdev(samples) / med * 100.0) if len(samples) > 1 \
+        else 0.0
     return {
-        'steps_per_sec': batch / marg,
-        'ns_per_iter': marg * 1e9,
-        't_lo_s': d_lo,
-        't_hi_s': d_hi,
+        'steps_per_sec': med,
+        'ns_per_iter': batch / med * 1e9,
+        'samples': samples,
+        'spread_pct': spread,
     }
 
 

@@ -13,7 +13,9 @@ import os
 if os.environ.get('GCT_TPU_TESTS'):
     # escape hatch for the @pytest.mark.skipif(backend != 'tpu') tests:
     # keep the container's default (real-TPU) platform and float32, e.g.
-    #   GCT_TPU_TESTS=1 pytest tests/test_pallas_actor.py -k hardware
+    #   GCT_TPU_TESTS=1 pytest tests/test_pallas_rollout.py -k tpu
+    # (scripts/run_tpu_tests.sh runs the whole on-chip subset and records
+    # docs/tpu_tests.json)
     import jax  # noqa: F401
 else:
     os.environ.setdefault('JAX_PLATFORMS', 'cpu')

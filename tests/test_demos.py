@@ -51,3 +51,21 @@ def test_hover_demo():
 def test_target_demo():
     out = _run('target_demo.py', '--steps', '120')
     assert 'target at' in out
+
+
+def test_velhold_example(tmp_path):
+    """Constant-climb-rate dynamics check (attic/velhold.py analogue): the
+    velocity PI must actually hold the climb-rate setpoint."""
+    png = str(tmp_path / 'velhold.png')
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    env['GCT_PLATFORM'] = 'cpu'
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'examples/velhold.py'),
+         '--duration', '10', '--save', png],
+        env=env, capture_output=True, text=True, timeout=600, cwd=REPO)
+    assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+    assert os.path.exists(png)
+    rate = float(r.stdout.split('mean climb rate (2nd half) = ')[1].split()[0])
+    assert 0.7 < rate < 1.3, r.stdout

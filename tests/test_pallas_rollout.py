@@ -333,6 +333,52 @@ def test_random_reset_mode_tpu():
                                   np.asarray(tot2['reward_sum']))
 
 
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='compiled-Mosaic parity check needs a real TPU')
+def test_fused_rollout_matches_scan_on_tpu():
+    """The compiled Mosaic kernel (not interpret mode — that is what the
+    CPU suite exercises) must agree with the XLA scan path on chip: with
+    reset randomness OFF the two are the same deterministic program, so
+    per-env episode counts and reward sums must match to f32 tolerance."""
+    params = EnvParams(vehicle=vehicles.DJI_PHANTOM,
+                       task=TaskParams(max_steps=80, initial_random_force=0.0))
+    key = jax.random.PRNGKey(0)
+    env_ids = jnp.arange(B, dtype=jnp.int32)
+    state, _ = base.reset(key, env_ids, jnp.zeros(B, jnp.int32), params,
+                          tasks.LANDER_3D, dtype=jnp.float32)
+    action = jnp.full((4, B), 1.625e-2, jnp.float32)
+    _, ftot = pr.fused_rollout(state, action, 400, params, tasks.LANDER_3D,
+                               seed=0)
+    _, stot = pr.scan_rollout(state, action, key, env_ids, 400, params,
+                              tasks.LANDER_3D)
+    np.testing.assert_array_equal(np.asarray(ftot['episodes']),
+                                  np.asarray(stot['episodes']))
+    np.testing.assert_allclose(np.asarray(ftot['reward_sum']),
+                               np.asarray(stot['reward_sum']),
+                               rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='on-chip training-path smoke')
+def test_ppo_train_step_on_tpu():
+    """One jitted PPO train step at the flagship batch on the real chip:
+    finite metrics, env state advanced on every lane."""
+    from gym_copter_tpu.learn import ppo
+
+    cfg = ppo.PPOConfig(rollout_steps=32, hidden=128)
+    env_ids = jnp.arange(B, dtype=jnp.int32)
+    params = EnvParams(vehicle=vehicles.DJI_PHANTOM)
+    train_step, opt = ppo.make_train_step(params, tasks.LANDER_3D, cfg,
+                                          jax.random.PRNGKey(1), env_ids)
+    ts = ppo.init_train_state(jax.random.PRNGKey(0), params,
+                              tasks.LANDER_3D, cfg, B, opt)
+    ts2, metrics = jax.jit(train_step)(ts)
+    for k, v in metrics.items():
+        assert bool(jnp.isfinite(v)), f'non-finite metric {k}'
+    assert int(ts2.update_idx) == 1
+    assert bool(jnp.all(ts2.env_state.steps >= 1))
+
+
 def test_copter_env_fused_rollout_handle():
     """Public handle path: env.fused_rollout dispatches to the kernel for
     every task kind (Target included) and reports which path executed; a
