@@ -89,6 +89,28 @@ class PPOConfig(NamedTuple):
     target_kl: float = 0.0
 
 
+def scaled_minibatches(num_envs: int, base_envs: int = 1024,
+                       base_minibatches: int = 4) -> int:
+    """Batch-size scaling rule: hold the MINIBATCH size fixed as the env
+    batch grows.
+
+    The validated Lander3D recipe (docs/lander3d_curve.json) was tuned at
+    1024 envs x 128 rollout steps / 4 minibatches = 32,768 transitions per
+    gradient step.  Re-running it at 4096 envs with minibatches=4 keeps the
+    update count but quadruples the minibatch (131k), which quarters both
+    the gradient noise and the optimizer steps taken per environment step —
+    and the policy never leaves the hover plateau (round-3 r3b collapse,
+    final-window 186.6; round-4 rerun with the fixed recipe, 77.5).
+    Scaling `minibatches` with the env batch (16 at 4096) restores the
+    exact per-gradient-step dynamics of the tuned recipe; each update then
+    simply performs 4x more of the same steps on 4x more data.  Pass the
+    result as PPOConfig.minibatches; scripts/train_curve.py applies it
+    automatically unless --minibatches overrides.  Validated: 4096 envs /
+    minibatches=16 holds 335 +/- 1 final-window across 3 seeds
+    (docs/lander3d_curve_4096.json) where minibatches=4 collapsed."""
+    return max(1, (num_envs * base_minibatches) // base_envs)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any

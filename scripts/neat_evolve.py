@@ -34,49 +34,62 @@ def main():
     p.add_argument('--target', type=float, default=300.0)
     p.add_argument('--hidden', type=int, default=16)
     p.add_argument('--generations', type=int, default=1000)
-    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--seeds', type=int, nargs='+', default=[0])
     p.add_argument('--eval-reps', type=int, default=100)
     p.add_argument('--anchor', default='hover', choices=['hover', 'direct'])
     p.add_argument('--out', default=None, help='JSON record path')
-    p.add_argument('--save-genome', default=None, help='champion .npz path')
+    p.add_argument('--save-genome', default=None,
+                   help='champion .npz path (best seed)')
     args = p.parse_args()
 
     cfg = ne.NeatConfig(pop_size=args.pop, episode_reps=args.reps,
                         fitness_threshold=args.target, hidden=args.hidden,
                         action_anchor=args.anchor)
-    t0 = time.time()
-    champ, hist, _ = ne.evolve_population(
-        args.env, cfg, max_generations=args.generations, seed=args.seed)
-    wall = time.time() - t0
+    runs, best_champ, best_champ_score = [], None, -float('inf')
+    for seed in args.seeds:
+        t0 = time.time()
+        champ, hist, _ = ne.evolve_population(
+            args.env, cfg, max_generations=args.generations, seed=seed)
+        wall = time.time() - t0
 
-    robust, _ = ne.evaluate_champion(champ, args.env, cfg,
-                                     reps=args.eval_reps)
-    best = max(h['best_fitness'] for h in hist)
-    print(f'{args.env}: best fitness {best:.1f} in {len(hist)} generations '
-          f'({wall:.0f}s); champion over {args.eval_reps} fresh episodes: '
-          f'{robust:.1f} (target {args.target})')
+        robust, _ = ne.evaluate_champion(champ, args.env, cfg,
+                                         reps=args.eval_reps)
+        best = max(h['best_fitness'] for h in hist)
+        print(f'{args.env} seed {seed}: best fitness {best:.1f} in '
+              f'{len(hist)} generations ({wall:.0f}s); champion over '
+              f'{args.eval_reps} fresh episodes: {robust:.1f} '
+              f'(target {args.target})', flush=True)
+        runs.append({
+            'seed': seed,
+            'generations_run': len(hist),
+            'best_fitness': best,
+            'reached_target': bool(best >= args.target),
+            'champion_eval_mean': robust,
+            'wall_seconds': wall,
+            'generations_per_sec': len(hist) / wall,
+            'curve': hist,
+        })
+        if robust > best_champ_score:
+            best_champ_score, best_champ = robust, champ
 
     record = {
         'env': args.env, 'algorithm': 'neat-style GA (masked topology)',
         'config': {'pop_size': args.pop, 'episode_reps': args.reps,
                    'fitness_threshold': args.target, 'hidden': args.hidden,
-                   'seed': args.seed, 'action_anchor': args.anchor},
-        'generations_run': len(hist),
-        'best_fitness': best,
-        'reached_target': bool(best >= args.target),
-        'champion_eval_mean': robust,
+                   'seeds': args.seeds, 'action_anchor': args.anchor},
         'champion_eval_reps': args.eval_reps,
-        'wall_seconds': wall,
         'env_steps_per_generation': args.pop * args.reps * cfg.max_steps,
-        'curve': hist,
+        'seeds_reaching_target': sum(r['reached_target'] for r in runs),
+        'best_fitness_across_seeds': max(r['best_fitness'] for r in runs),
+        'runs': runs,
     }
     if args.out:
         with open(args.out, 'w') as f:
             json.dump(record, f)
         print(f'wrote {args.out}')
-    if args.save_genome:
+    if args.save_genome and best_champ is not None:
         np.savez(args.save_genome,
-                 **{k: np.asarray(v) for k, v in champ._asdict().items()})
+                 **{k: np.asarray(v) for k, v in best_champ._asdict().items()})
         print(f'wrote {args.save_genome}')
 
 

@@ -28,6 +28,8 @@ from gym_copter_tpu.utils import checkpoint
 
 
 def run_seed(args, seed):
+    minibatches = (args.minibatches if args.minibatches
+                   else ppo.scaled_minibatches(args.envs))
     cfg = ppo.PPOConfig(rollout_steps=args.rollout,
                         entropy_coef=args.entropy,
                         learning_rate=args.lr,
@@ -39,6 +41,7 @@ def run_seed(args, seed):
                         anneal_lr=not args.no_anneal,
                         target_kl=args.target_kl,
                         hidden=args.hidden,
+                        minibatches=minibatches,
                         shuffle_block=args.shuffle_block)
     ts, history = ppo.train(args.env, num_envs=args.envs,
                             num_updates=args.updates, seed=seed,
@@ -72,6 +75,10 @@ def main():
     p.add_argument('--no-anneal', action='store_true')
     p.add_argument('--anneal-floor', type=float, default=0.0)
     p.add_argument('--hidden', type=int, default=128)
+    p.add_argument('--minibatches', type=int, default=0,
+                   help='minibatches per epoch; 0 = scale with the env '
+                        'batch so the minibatch size stays at the tuned '
+                        '32k transitions (ppo.scaled_minibatches)')
     p.add_argument('--shuffle-block', type=int, default=128,
                    help='minibatch shuffle granularity (1 = element-wise '
                         'permutation, the pre-round-4 semantics; 128 = '
