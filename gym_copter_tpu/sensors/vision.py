@@ -30,6 +30,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _adjugate3(m):
+    """Adjugate of a 3x3 matrix: inv(m) * det(m), elementwise cofactors."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    return jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e]),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f]),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d]),
+    ])
+
+
 class VisionSensor:
     """Functional vision sensor; all methods are jit/vmap-safe."""
 
@@ -54,69 +66,64 @@ class VisionSensor:
     def _warp_homography(self, psi, theta, phi):
         """3x3 output<-input pixel homography of the reference's
         cv2.getPerspectiveTransform(ptsIn, ptsOut) (vs.py:117-199), built
-        from the same P*T*Rtheta*Rpsi*Rphi chain.  Angles in degrees."""
+        from the same P*T*Rtheta*Rpsi*Rphi chain.  Angles in degrees.
+
+        The reference recovers the matrix numerically from 4 warped corner
+        points because that is OpenCV's API; the underlying map is already
+        projective, so the matrix has a closed form.  With R = Rtheta @
+        Rpsi @ Rphi, k = 1/tan(fov/2), s the warp-frame side length, and
+        image z = 0, the 4x4 chain collapses to rows (x, y, 1) ->
+
+            w' = -R20 x - R21 y + h                      (depth)
+            u' = (s/2) ((k R00 - R20) x + (k R01 - R21) y + h)
+            v' = (s/2) ((k R10 - R20) x + (k R11 - R21) y + h)
+
+        composed with the corner shift (xi, yi) -> (xi - res/2, yi - res/2).
+        Closed form matters for performance, not just elegance: the 8x8
+        `jnp.linalg.solve` this replaces ran ~80x slower inside a
+        `lax.scan` rollout than standalone (batched tiny LU pivoting
+        compiles to serial dynamic-slice loops on TPU), capping visual
+        rollouts at 0.33M env-steps/s; elementwise trig products restore
+        image cost to less than the physics step (docs/bench_vision.json).
+        """
         rad = jnp.radians
         st, ct = jnp.sin(rad(psi)), jnp.cos(rad(psi))
         sp, cp = jnp.sin(rad(theta)), jnp.cos(rad(theta))
         sg, cg = jnp.sin(rad(phi)), jnp.cos(rad(phi))
 
-        one = jnp.ones_like(st)
-        zero = jnp.zeros_like(st)
-
-        def mat4(rows):
-            return jnp.stack([jnp.stack(r) for r in rows])
-
-        r_psi = mat4([[ct, -st, zero, zero], [st, ct, zero, zero],
-                      [zero, zero, one, zero], [zero, zero, zero, one]])
-        r_theta = mat4([[one, zero, zero, zero], [zero, cp, -sp, zero],
-                        [zero, sp, cp, zero], [zero, zero, zero, one]])
-        r_phi = mat4([[cg, zero, -sg, zero], [zero, one, zero, zero],
-                      [sg, zero, cg, zero], [zero, zero, zero, one]])
+        # needed entries of R = r_theta @ r_psi @ r_phi (z=0 kills col 2)
+        r00 = ct * cg
+        r01 = -st
+        r10 = cp * st * cg - sp * sg
+        r11 = cp * ct
+        r20 = sp * st * cg + cp * sg
+        r21 = sp * ct
 
         half_fov = math.radians(self.fov / 2)
-        t = jnp.asarray(np.array(
-            [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -self.h], [0, 0, 0, 1]],
-            np.float64), st.dtype)
-        ppm = np.zeros((4, 4))
-        ppm[0, 0] = ppm[1, 1] = 1.0 / math.tan(half_fov)
-        ppm[2, 2] = -(self.f + self.n) / (self.f - self.n)
-        ppm[2, 3] = -(2.0 * self.f * self.n) / (self.f - self.n)
-        ppm[3, 2] = -1.0
-        p = jnp.asarray(ppm, st.dtype)
+        k = 1.0 / math.tan(half_fov)
+        s2 = self.side_length_f * 0.5
+        h = self.h
+        hw = self.res / 2.0
 
-        fmat = p @ t @ r_theta @ r_psi @ r_phi
+        # rows over centered coords (x, y, 1)
+        a0 = s2 * (k * r00 - r20)
+        a1 = s2 * (k * r01 - r21)
+        a2 = jnp.full_like(st, s2 * h)
+        b0 = s2 * (k * r10 - r20)
+        b1 = s2 * (k * r11 - r21)
+        b2 = a2
+        c0 = -r20
+        c1 = -r21
+        c2 = jnp.full_like(st, h)
 
-        # transform the four image corners (z=0 plane): keep rows x,y,w
-        half_w = half_h = self.res / 2.0
-        corners = jnp.asarray(np.array(
-            [[-half_w, half_w, half_w, -half_w],
-             [half_h, half_h, -half_h, -half_h],
-             [0.0, 0.0, 0.0, 0.0],
-             [1.0, 1.0, 1.0, 1.0]]), st.dtype)
-        out = fmat @ corners                       # (4, 4)
-        out_xy = out[:2] / out[3]                  # perspective divide
-        pts_out = (out_xy + 1.0) * (self.side_length_f * 0.5)  # (2, 4)
-        pts_in_x = corners[0] + half_w
-        pts_in_y = corners[1] + half_h
-
-        # solve the 8x8 system for the homography mapping in->out
-        def rows_for(xi, yi, xo, yo):
-            r1 = jnp.stack([xi, yi, jnp.ones_like(xi), zero, zero, zero,
-                            -xo * xi, -xo * yi])
-            r2 = jnp.stack([zero, zero, zero, xi, yi, jnp.ones_like(xi),
-                            -yo * xi, -yo * yi])
-            return r1, r2
-
-        rows, rhs = [], []
-        for i in range(4):
-            r1, r2 = rows_for(pts_in_x[i], pts_in_y[i],
-                              pts_out[0, i], pts_out[1, i])
-            rows += [r1, r2]
-            rhs += [pts_out[0, i], pts_out[1, i]]
-        a = jnp.stack(rows)
-        b = jnp.stack(rhs)
-        hvec = jnp.linalg.solve(a, b)
-        hmat = jnp.concatenate([hvec, jnp.ones((1,), hvec.dtype)]).reshape(3, 3)
+        # compose the (xi, yi) -> (xi - hw, yi - hw) shift, then normalize
+        # to H[2,2] = 1 (the 8-parameter form the solve produced)
+        det = c2 - hw * c0 - hw * c1
+        hmat = jnp.stack([
+            jnp.stack([a0, a1, a2 - hw * a0 - hw * a1]),
+            jnp.stack([b0, b1, b2 - hw * b0 - hw * b1]),
+            jnp.stack([c0, c1, det]),
+        ]) / det
         return hmat
 
     # -- rendering ----------------------------------------------------------
@@ -141,7 +148,10 @@ class VisionSensor:
         hmat = self._warp_homography(jnp.asarray(psi, jnp.float32),
                                      jnp.asarray(theta, jnp.float32),
                                      jnp.asarray(phi, jnp.float32))
-        hinv = jnp.linalg.inv(hmat)
+        # adjugate inverse: hinv is only ever used through the projective
+        # ratios u = row0.p / row2.p, so the 1/det scale cancels — no
+        # linalg.inv (which, like the solve above, serializes in scans)
+        hinv = _adjugate3(hmat)
 
         # output grid = cropped warp region (warped[margin:-margin])
         rows = jax.lax.broadcasted_iota(jnp.float32,
