@@ -98,3 +98,54 @@ def test_visual_wrapper_shapes():
     state, ts, img = venv.step(state, a)
     assert img.shape == (4, 16, 16)
     assert set(np.unique(np.asarray(img))).issubset({0.0, 1.0})
+
+
+def test_closed_form_homography_matches_four_point_solve():
+    """The closed-form projective matrix must equal the matrix recovered
+    from the 4 warped corner correspondences (the reference's
+    cv2.getPerspectiveTransform construction, vs.py:117-199) — the
+    8x8-solve oracle is reproduced here in numpy float64."""
+    s = VisionSensor(res=32)
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        psi, theta, phi = rng.uniform(-40, 40, 3)
+        hmat = np.asarray(s._warp_homography(
+            jnp.float32(psi), jnp.float32(theta), jnp.float32(phi)))
+
+        # oracle: build fmat = P @ T @ Rtheta @ Rpsi @ Rphi in float64,
+        # warp the 4 corners, solve the 8x8 correspondence system
+        def rot(a):
+            return np.radians(a)
+        st, ct = np.sin(rot(psi)), np.cos(rot(psi))
+        sp, cp = np.sin(rot(theta)), np.cos(rot(theta))
+        sg, cg = np.sin(rot(phi)), np.cos(rot(phi))
+        r_psi = np.array([[ct, -st, 0, 0], [st, ct, 0, 0],
+                          [0, 0, 1, 0], [0, 0, 0, 1.0]])
+        r_theta = np.array([[1, 0, 0, 0], [0, cp, -sp, 0],
+                            [0, sp, cp, 0], [0, 0, 0, 1.0]])
+        r_phi = np.array([[cg, 0, -sg, 0], [0, 1, 0, 0],
+                          [sg, 0, cg, 0], [0, 0, 0, 1.0]])
+        half_fov = np.radians(s.fov / 2)
+        t = np.eye(4); t[2, 3] = -s.h
+        p = np.zeros((4, 4))
+        p[0, 0] = p[1, 1] = 1.0 / np.tan(half_fov)
+        p[2, 2] = -(s.f + s.n) / (s.f - s.n)
+        p[2, 3] = -(2.0 * s.f * s.n) / (s.f - s.n)
+        p[3, 2] = -1.0
+        fmat = p @ t @ r_theta @ r_psi @ r_phi
+        hw = s.res / 2.0
+        corners = np.array([[-hw, hw, hw, -hw], [hw, hw, -hw, -hw],
+                            [0, 0, 0, 0], [1, 1, 1, 1.0]])
+        out = fmat @ corners
+        pts_out = (out[:2] / out[3] + 1.0) * (s.side_length_f * 0.5)
+        pts_in = corners[:2] + hw
+        rows, rhs = [], []
+        for i in range(4):
+            xi, yi = pts_in[0, i], pts_in[1, i]
+            xo, yo = pts_out[0, i], pts_out[1, i]
+            rows.append([xi, yi, 1, 0, 0, 0, -xo * xi, -xo * yi])
+            rows.append([0, 0, 0, xi, yi, 1, -yo * xi, -yo * yi])
+            rhs += [xo, yo]
+        hvec = np.linalg.solve(np.array(rows), np.array(rhs))
+        oracle = np.concatenate([hvec, [1.0]]).reshape(3, 3)
+        np.testing.assert_allclose(hmat, oracle, rtol=2e-4, atol=2e-4)
