@@ -67,13 +67,19 @@ class PPOConfig(NamedTuple):
     # minibatch shuffle granularity: the T*B rollout buffer is shuffled by
     # permuting contiguous BLOCKS of this many transitions rather than
     # single elements.  A block is `shuffle_block` consecutive envs at one
-    # timestep (flat index = t*B + b), i.e. independent environments, so
-    # intra-block correlation is negligible — but the TPU cost difference
-    # is huge: an element-wise permutation gather of the 524k-transition
-    # buffer ran at 100 ms/update vs 18 ms for block shuffling (the whole
-    # remaining update included; docs/profile_ppo.json, round 4).  XLA
-    # lowers 4-byte-granularity gathers to scalar loads; block gathers move
-    # 512-byte+ contiguous runs at HBM bandwidth.  1 recovers the exact
+    # timestep (flat index = t*B + b), i.e. independent environments — and
+    # the TPU cost difference is huge: an element-wise permutation gather
+    # of the 524k-transition buffer ran at 100 ms/update vs 18 ms for
+    # block shuffling (the whole remaining update included;
+    # docs/profile_ppo.json, round 4).  XLA lowers 4-byte-granularity
+    # gathers to scalar loads; block gathers move 512-byte+ contiguous
+    # runs at HBM bandwidth.  Learning impact, measured honestly
+    # (docs/hover3d_shuffle_ablation.json): on a short noise-amplifying
+    # Hover3D snapshot element-wise leads on 3/3 paired seeds, i.e. block
+    # shuffling is NOT perfectly free in sample efficiency per update; at
+    # full length on the flagship Lander3D recipe block-shuffle runs hold
+    # 335-336 final-window (>= the element-era 327.6 and the 300 target),
+    # so end quality is unaffected where it matters.  1 recovers the exact
     # element-wise semantics.  If T*B % shuffle_block != 0 the trainer
     # falls back to 1 automatically.
     shuffle_block: int = 128
