@@ -427,6 +427,17 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
         preset = task_registry.PRESET_PARAMS.get(env_name)
         env_params = preset() if preset is not None else default_params()
 
+    # batch-size scaling guard: the recipe was tuned at 32k-transition
+    # minibatches; silently quadrupling the minibatch by raising num_envs
+    # alone is exactly the round-3 collapse mode (see scaled_minibatches)
+    mb_size = num_envs * cfg.rollout_steps // cfg.minibatches
+    if mb_size > int(1.5 * 32768):
+        print(f'WARNING: minibatch size {mb_size} >> the tuned 32768; '
+              f'large minibatches quartered learning at 4096 envs '
+              f'(docs/lander3d_curve_4096.json) — consider '
+              f'cfg.minibatches = ppo.scaled_minibatches({num_envs}) '
+              f'= {scaled_minibatches(num_envs)}')
+
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.PRNGKey(seed + 1)
     env_ids = jnp.arange(num_envs, dtype=jnp.int32)

@@ -149,3 +149,17 @@ def test_closed_form_homography_matches_four_point_solve():
         hvec = np.linalg.solve(np.array(rows), np.array(rhs))
         oracle = np.concatenate([hvec, [1.0]]).reshape(3, 3)
         np.testing.assert_allclose(hmat, oracle, rtol=2e-4, atol=2e-4)
+
+
+def test_image_path_contains_no_serializing_linalg():
+    """Performance guard: the batched image path must stay free of LU
+    factorizations and loops — the 8x8 jnp.linalg.solve it once used
+    serialized inside lax.scan and cost 40x the physics step
+    (docs/bench_vision.json history).  The closed-form construction is
+    pure elementwise math, so the jaxpr must contain no while/scan, no
+    triangular_solve, and no lu."""
+    s = VisionSensor(res=16)
+    poses = jnp.zeros((6, 8), jnp.float32).at[2].set(5.0)
+    jaxpr = str(jax.make_jaxpr(s.get_images)(poses))
+    for banned in ('triangular_solve', ' lu ', 'lu[', 'while', 'scan'):
+        assert banned not in jaxpr, f'{banned!r} found in image jaxpr'
