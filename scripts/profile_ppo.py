@@ -192,9 +192,18 @@ def main():
             float(out['log_std'][0])
         results[f'update_{mode}_s'] = timeit(run_upd)
 
+    # the production trainer uses block shuffling, so its update share is
+    # full - rollout; the three update_* variants above are the DIAGNOSTIC
+    # alternatives that motivated it (element gather / materialized element
+    # permutation / unshuffled lower bound — learn/ppo.py shuffle_block)
+    update_actual = results['full_step_s'] - results['rollout_s']
     results['accounting'] = {
         'rollout_pct': 100 * results['rollout_s'] / results['full_step_s'],
-        'update_pct': 100 * results['update_gather_s'] / results['full_step_s'],
+        'update_actual_s': update_actual,
+        'update_pct': 100 * update_actual / results['full_step_s'],
+        'element_gather_vs_actual': results['update_gather_s'] / update_actual,
+        'unshuffled_lower_bound_vs_actual':
+            results['update_none_s'] / update_actual,
     }
     print(json.dumps(results, indent=1))
     if args.out:

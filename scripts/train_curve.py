@@ -128,6 +128,8 @@ def main():
         'config': {'updates': args.updates, 'envs': args.envs,
                    'rollout': args.rollout, 'lr': args.lr,
                    'entropy': args.entropy, 'gamma': args.gamma,
+                   'minibatches': (args.minibatches if args.minibatches
+                                   else ppo.scaled_minibatches(args.envs)),
                    'target_kl': args.target_kl,
                    'anneal_floor': args.anneal_floor,
                    'keep_best': args.keep_best,
