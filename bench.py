@@ -20,11 +20,21 @@ tunnel round-trip latency); the differential with forced host reads cancels
 both.  Sanity: the kernel's per-env episode counts are checked against the
 XLA path before timing.
 
-Regression gate: per-rep variance is reported (spread_pct) and the result
-is compared against the last entry of docs/bench_history.json — a drop of
-more than 5% beyond the measured noise prints a WARNING to stderr (the
-round-3 headline drifted 7.33G -> 7.04G with nothing watching).  The new
-measurement is appended to the history file.
+Measurement methodology (round 5, replacing the round-1..4 windows): the
+marginal workload is 1M kernel steps (~0.6 s at 7G env-steps/s) — an order
+of magnitude above the tunnel's observed ~50 ms round-trip jitter, where
+the old 100k-step window (~55 ms) was *inside* it, producing 33% spreads,
+bimodal samples, and degenerate reps where the large run timed no longer
+than the small one.  Degenerate samples are rejected and re-drawn, the
+estimate is the median, and the spread is MAD-based (robust to outlier
+reps).  A spread above SPREAD_GATE_PCT triggers one full re-measurement;
+the run with the lower spread is kept.
+
+Regression gate: the result is compared against the last
+docs/bench_history.json entry recorded with the SAME methodology — a drop
+of more than 5% beyond the measured spread prints a WARNING to stderr.
+Pre-round-5 entries carry methodology noise (see the history file's note)
+and are never used for gating.
 
 Prints exactly one JSON line (stdout):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
@@ -48,8 +58,18 @@ from gym_copter_tpu.ops import pallas_rollout as pr
 NORTH_STAR = 1.0e7  # env-steps/s per host (BASELINE.json north_star)
 
 B = 4096
-T_LO, T_HI = 20_000, 120_000
-REPS = 8
+# Marginal workload = (T_HI - T_LO) kernel steps = 1M (~0.6 s at 7G
+# env-steps/s), >= 10x the tunnel's ~50 ms jitter; samples whose measured
+# marginal time lands below MIN_MARGINAL_S are jitter artifacts, rejected.
+T_LO, T_HI = 100_000, 1_100_000
+REPS = 10
+MIN_MARGINAL_S = 0.05
+SPREAD_GATE_PCT = 10.0
+METHODOLOGY = 'r5:diff1M/mad/reject50ms'
+
+# CPU fallback (driver smoke on non-TPU backends): the scan path runs
+# ~1000x slower, so scale the windows down to keep the run finite.
+T_LO_CPU, T_HI_CPU = 200, 2_200
 
 
 def main():
@@ -82,20 +102,53 @@ def main():
         _, tot = rollout(state, num_steps, 0)
         return float(tot['reward_sum'][0])              # forced host sync
 
-    res = profiling.differential_steps_per_sec(run, T_LO, T_HI, batch=B,
-                                               reps=REPS)
+    t_lo, t_hi = (T_LO, T_HI) if on_tpu else (T_LO_CPU, T_HI_CPU)
+    min_marg = MIN_MARGINAL_S if on_tpu else 0.0
+
+    def measure():
+        return profiling.differential_steps_per_sec(
+            run, t_lo, t_hi, batch=B, reps=REPS, min_marginal_s=min_marg)
+
+    res = measure()
+    if res['spread_pct'] > SPREAD_GATE_PCT:
+        print(f'NOTE: spread {res["spread_pct"]:.1f}% > '
+              f'{SPREAD_GATE_PCT}% gate — re-measuring once',
+              file=sys.stderr)
+        res2 = measure()
+        if res2['spread_pct'] < res['spread_pct']:
+            res = res2
+        if res['spread_pct'] > SPREAD_GATE_PCT:
+            print(f'WARNING: spread {res["spread_pct"]:.1f}% still above '
+                  f'the {SPREAD_GATE_PCT}% gate after re-measurement — '
+                  f'treat this value as noisy', file=sys.stderr)
     steps_per_sec = res['steps_per_sec']
 
-    # regression gate vs the last recorded run (docs/bench_history.json)
+    # regression gate vs the last same-methodology run
     hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'docs', 'bench_history.json')
-    history = []
+    history = {'note': '', 'runs': []}
     if os.path.exists(hist_path):
         with open(hist_path) as f:
-            history = json.load(f)
+            loaded = json.load(f)
+        if isinstance(loaded, list):  # migrate the pre-r5 flat-list format
+            history['runs'] = loaded
+            history['note'] = (
+                'Entries without a "methodology" key predate round 5 and '
+                'were measured with a 100k-step differential window — '
+                'smaller than the TPU tunnel\'s round-trip jitter — so '
+                'their values carry up to ~35% methodology noise and their '
+                'spread_pct is a plain stddev over unrejected (sometimes '
+                'degenerate) samples.  They are kept for the historical '
+                'record but are not comparable to r5+ entries and are '
+                'never used for regression gating.')
+        else:
+            history = loaded
     vs_last_pct = None
-    if history:
-        last = history[-1]['value']
+    prior = [r for r in history['runs']
+             if r.get('methodology') == METHODOLOGY
+             and r.get('backend') == jax.default_backend()]
+    if prior:
+        last = prior[-1]['value']
         vs_last_pct = (steps_per_sec - last) / last * 100.0
         # warn when the drop exceeds the measured noise plus the 5% gate
         if vs_last_pct < -(5.0 + res['spread_pct']):
@@ -103,13 +156,15 @@ def main():
                   f'last recorded run ({last:.3g} env-steps/s) — beyond the '
                   f'{res["spread_pct"]:.1f}% measured spread + 5% gate',
                   file=sys.stderr)
-    history.append({
+    history['runs'].append({
         'date': datetime.datetime.now(datetime.timezone.utc)
                 .strftime('%Y-%m-%dT%H:%M:%SZ'),
         'value': round(steps_per_sec),
         'spread_pct': round(res['spread_pct'], 2),
         'samples': [round(s) for s in res['samples']],
+        'rejected': res['rejected'],
         'backend': jax.default_backend(),
+        'methodology': METHODOLOGY,
     })
     os.makedirs(os.path.dirname(hist_path), exist_ok=True)
     with open(hist_path, 'w') as f:
@@ -121,6 +176,7 @@ def main():
         'unit': 'env-steps/s',
         'vs_baseline': round(steps_per_sec / NORTH_STAR, 3),
         'spread_pct': round(res['spread_pct'], 2),
+        'rejected_samples': res['rejected'],
     }
     if vs_last_pct is not None:
         out['vs_last_pct'] = round(vs_last_pct, 2)

@@ -35,48 +35,87 @@ def timed_host_sync(fn: Callable[[], float], reps: int) -> float:
 
 
 def differential_samples(run, t_lo: int, t_hi: int, *,
-                         batch: int, reps: int = 5) -> list:
+                         batch: int, reps: int = 5,
+                         min_marginal_s: float = 0.0) -> dict:
     """Per-rep marginal throughput samples of `run(num_steps)`.
 
     Each rep times one (t_lo, t_hi) pair and yields its own marginal
     steps/s, so the caller can report median AND spread — a single
     aggregated number hides tunnel-noise variance (the round-3 headline
-    drifted -4% with no way to tell noise from regression)."""
+    drifted -4% with no way to tell noise from regression).
+
+    Degenerate samples — reps where the tunnel's round-trip jitter ate the
+    marginal workload, so d_hi - d_lo <= min_marginal_s — are REJECTED and
+    re-sampled (up to 3x reps attempts), never clamped: the round-4
+    headline carried samples where a 120k-step run timed *no longer than*
+    a 20k-step run, clamped to 1e-12 s and reported as absurd throughput.
+    Callers must size (t_hi - t_lo) so the expected marginal work is well
+    above min_marginal_s (>= ~10x is the rule of thumb).
+    """
     run(t_lo)  # warm-up / compile
     run(t_hi)
-    samples = []
-    for _ in range(reps):
+    samples, rejected = [], 0
+    max_attempts = 3 * reps
+    floor = max(min_marginal_s, 1e-9)
+    for _ in range(max_attempts):
+        if len(samples) >= reps:
+            break
         t0 = time.perf_counter()
         run(t_lo)
         d_lo = time.perf_counter() - t0
         t0 = time.perf_counter()
         run(t_hi)
         d_hi = time.perf_counter() - t0
-        marg = max(d_hi - d_lo, 1e-12) / (t_hi - t_lo)
-        samples.append(batch / marg)
-    return samples
+        marginal = d_hi - d_lo
+        if marginal <= floor:
+            rejected += 1
+            continue
+        samples.append(batch * (t_hi - t_lo) / marginal)
+    return {'samples': samples, 'rejected': rejected}
 
 
-def differential_steps_per_sec(run, t_lo: int, t_hi: int, *,
-                               batch: int, reps: int = 5) -> dict:
-    """Marginal throughput of `run(num_steps) -> host-synced result`.
+def robust_stats(samples: list) -> dict:
+    """Median + MAD-based spread of throughput samples.
 
-    Returns {'steps_per_sec', 'ns_per_iter', 'samples', 'spread_pct'}:
-    steps_per_sec is the MEDIAN of per-rep differential samples (a mean of
-    lo/hi aggregates lets one slow sample skew the estimate), samples the
-    raw per-rep values, spread_pct their relative stddev in percent.
+    spread_pct is the normalized median absolute deviation
+    (1.4826 * MAD / median, in percent) — robust to the tunnel's
+    occasional multi-x outlier rep, unlike the stddev used pre-round-5
+    (one 37G outlier among 7G samples blew spread past any useful gate).
     """
     import statistics
 
-    samples = differential_samples(run, t_lo, t_hi, batch=batch, reps=reps)
+    if not samples:
+        return {'median': 0.0, 'spread_pct': float('inf'), 'n': 0}
     med = statistics.median(samples)
-    spread = (statistics.pstdev(samples) / med * 100.0) if len(samples) > 1 \
-        else 0.0
+    mad = statistics.median(abs(s - med) for s in samples)
+    spread = (1.4826 * mad / med * 100.0) if med > 0 else float('inf')
+    return {'median': med, 'spread_pct': spread, 'n': len(samples)}
+
+
+def differential_steps_per_sec(run, t_lo: int, t_hi: int, *,
+                               batch: int, reps: int = 5,
+                               min_marginal_s: float = 0.0) -> dict:
+    """Marginal throughput of `run(num_steps) -> host-synced result`.
+
+    Returns {'steps_per_sec', 'ns_per_iter', 'samples', 'spread_pct',
+    'rejected', 'n_samples'}: steps_per_sec is the MEDIAN of per-rep
+    differential samples, spread_pct the MAD-based robust spread in
+    percent (see `robust_stats`), rejected the count of degenerate reps
+    discarded because jitter swallowed the marginal workload (see
+    `differential_samples`).
+    """
+    res = differential_samples(run, t_lo, t_hi, batch=batch, reps=reps,
+                               min_marginal_s=min_marginal_s)
+    samples = res['samples']
+    stats = robust_stats(samples)
+    med = stats['median']
     return {
         'steps_per_sec': med,
-        'ns_per_iter': batch / med * 1e9,
+        'ns_per_iter': (batch / med * 1e9) if med > 0 else float('inf'),
         'samples': samples,
-        'spread_pct': spread,
+        'spread_pct': stats['spread_pct'],
+        'rejected': res['rejected'],
+        'n_samples': len(samples),
     }
 
 
