@@ -43,7 +43,13 @@ class PPOConfig(NamedTuple):
     gae_lambda: float = 0.95
     clip_eps: float = 0.2
     epochs: int = 4
-    minibatches: int = 4
+    # None = auto: resolved to scaled_minibatches(num_envs) where the env
+    # batch is known (train(), make_train_step), holding the tuned 32k
+    # minibatch SIZE fixed as the batch grows.  Before round 5 the default
+    # was a fixed count of 4, so train(num_envs=4096) out of the box got
+    # the 131k-transition minibatches that collapsed the round-3 Lander3D
+    # runs.  Pass an int to pin the count explicitly.
+    minibatches: int | None = None
     value_coef: float = 0.5
     entropy_coef: float = 1e-3
     max_grad_norm: float = 0.5
@@ -109,12 +115,56 @@ def scaled_minibatches(num_envs: int, base_envs: int = 1024,
     final-window 186.6; round-4 rerun with the fixed recipe, 77.5).
     Scaling `minibatches` with the env batch (16 at 4096) restores the
     exact per-gradient-step dynamics of the tuned recipe; each update then
-    simply performs 4x more of the same steps on 4x more data.  Pass the
-    result as PPOConfig.minibatches; scripts/train_curve.py applies it
-    automatically unless --minibatches overrides.  Validated: 4096 envs /
-    minibatches=16 holds 335 +/- 1 final-window across 3 seeds
-    (docs/lander3d_curve_4096.json) where minibatches=4 collapsed."""
+    simply performs 4x more of the same steps on 4x more data.  This is the
+    default: PPOConfig.minibatches=None resolves through this rule wherever
+    the env-batch size is known.  Validated: 4096 envs / minibatches=16
+    holds 335 +/- 1 final-window across 3 seeds
+    (docs/lander3d_curve_4096.json) where minibatches=4 collapsed; 8192 /
+    32 holds the same (docs/lander3d_curve_8192.json).
+
+    The rule holds the minibatch size at exactly 32,768 only when num_envs
+    is a multiple of base_envs / base_minibatches = 256 (otherwise the
+    floor-division makes minibatches slightly coarse and the size drifts
+    above 32k by up to ~12%); non-multiples also generally leave
+    T*B % minibatches != 0, whose remainder transitions the updater drops —
+    resolve_minibatches warns on both."""
     return max(1, (num_envs * base_minibatches) // base_envs)
+
+
+def resolve_minibatches(cfg: PPOConfig, num_envs: int) -> PPOConfig:
+    """Resolve cfg.minibatches=None to the batch-scaling rule and sanity-
+    check explicit values (see scaled_minibatches).  Idempotent."""
+    import sys
+
+    mbs = cfg.minibatches
+    if mbs is None:
+        # scaling UP from the tuned 1024-env recipe holds the 32k minibatch
+        # SIZE fixed (scaled_minibatches); BELOW 1024 envs that size is
+        # unreachable, so hold the tuned COUNT of 4 instead — dev/test-scale
+        # runs keep the pre-r5 default behavior (more, smaller minibatches)
+        # rather than collapsing to a single gradient step per epoch
+        mbs = scaled_minibatches(num_envs) if num_envs >= 1024 else 4
+        if num_envs >= 1024 and num_envs % 256 != 0:
+            print(f'WARNING: scaled_minibatches holds the tuned 32k '
+                  f'minibatch size exactly only for num_envs % 256 == 0; '
+                  f'num_envs={num_envs} gives minibatch size '
+                  f'{num_envs * cfg.rollout_steps // mbs}', file=sys.stderr)
+    else:
+        # explicit override: warn on the round-3 collapse recipe
+        mb_size = num_envs * cfg.rollout_steps // mbs
+        if mb_size >= int(1.5 * 32768):
+            print(f'WARNING: minibatch size {mb_size} >> the tuned 32768; '
+                  f'large minibatches quartered learning at 4096 envs '
+                  f'(docs/lander3d_curve_4096.json) — consider '
+                  f'cfg.minibatches=None (auto) or '
+                  f'ppo.scaled_minibatches({num_envs}) '
+                  f'= {scaled_minibatches(num_envs)}', file=sys.stderr)
+    n = num_envs * cfg.rollout_steps
+    if n % mbs != 0:
+        print(f'WARNING: {n} rollout transitions do not divide into '
+              f'{mbs} minibatches; the trailing {n % mbs} transitions '
+              f'of each epoch are dropped', file=sys.stderr)
+    return cfg._replace(minibatches=mbs)
 
 
 class TrainState(NamedTuple):
@@ -198,6 +248,7 @@ def make_train_step(env_params: EnvParams, spec: TaskSpec, cfg: PPOConfig,
     rollout is ~5 ms of a ~23 ms update, so even an infinitely fast kernel
     could not repay its per-step MLP<->physics relayout cost — see
     PARITY.md "Policy-in-kernel".)"""
+    cfg = resolve_minibatches(cfg, int(env_ids.shape[0]))
     hover = hover_motor_value(env_params)
     if optimizer is None:
         optimizer = optax.chain(
@@ -427,16 +478,10 @@ def train(env_name: str = 'Hover3D-v0', num_envs: int = 1024,
         preset = task_registry.PRESET_PARAMS.get(env_name)
         env_params = preset() if preset is not None else default_params()
 
-    # batch-size scaling guard: the recipe was tuned at 32k-transition
-    # minibatches; silently quadrupling the minibatch by raising num_envs
-    # alone is exactly the round-3 collapse mode (see scaled_minibatches)
-    mb_size = num_envs * cfg.rollout_steps // cfg.minibatches
-    if mb_size > int(1.5 * 32768):
-        print(f'WARNING: minibatch size {mb_size} >> the tuned 32768; '
-              f'large minibatches quartered learning at 4096 envs '
-              f'(docs/lander3d_curve_4096.json) — consider '
-              f'cfg.minibatches = ppo.scaled_minibatches({num_envs}) '
-              f'= {scaled_minibatches(num_envs)}')
+    # resolve minibatches=None through the batch-scaling rule (and warn on
+    # explicit collapse-prone overrides) — silently quadrupling the
+    # minibatch by raising num_envs alone was the round-3 collapse mode
+    cfg = resolve_minibatches(cfg, num_envs)
 
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.PRNGKey(seed + 1)

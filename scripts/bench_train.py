@@ -137,8 +137,14 @@ def main():
     results = {'backend': jax.default_backend(), 'batch': B,
                'rollout_steps': ROLLOUT, 'hidden': 128}
 
-    cfg_block = ppo.PPOConfig(rollout_steps=ROLLOUT, hidden=128)
+    # minibatches pinned to 4 to stay comparable with the r3/r4 entries of
+    # this benchmark; the production recipe at 4096 envs resolves to 16
+    # (ppo.scaled_minibatches) and is measured separately below
+    cfg_block = ppo.PPOConfig(rollout_steps=ROLLOUT, hidden=128,
+                              minibatches=4)
     cfg_elem = cfg_block._replace(shuffle_block=1)
+    cfg_prod = ppo.resolve_minibatches(
+        cfg_block._replace(minibatches=None), B)
     net = ppo.init_params(jax.random.PRNGKey(2), spec.obs_size,
                           spec.action_size, cfg_block)
 
@@ -151,6 +157,12 @@ def main():
           flush=True)
     results['ppo_update'] = bench_train_step(params, spec, cfg_block)
     print(json.dumps(results['ppo_update'], indent=1), flush=True)
+
+    print('benchmarking end-to-end PPO update (production recipe, '
+          'minibatches=16) ...', flush=True)
+    results['ppo_update_production'] = bench_train_step(params, spec,
+                                                        cfg_prod)
+    print(json.dumps(results['ppo_update_production'], indent=1), flush=True)
 
     print('benchmarking end-to-end PPO update (element shuffle, '
           'pre-r4 semantics) ...', flush=True)

@@ -57,7 +57,8 @@ def main():
 
     params = EnvParams(vehicle=vehicles.DJI_PHANTOM)
     spec = tasks.LANDER_3D
-    cfg = ppo.PPOConfig(rollout_steps=T, hidden=args.hidden)
+    cfg = ppo.resolve_minibatches(
+        ppo.PPOConfig(rollout_steps=T, hidden=args.hidden), B)
     key = jax.random.PRNGKey(0)
     env_ids = jnp.arange(B, dtype=jnp.int32)
     train_step, opt = ppo.make_train_step(params, spec, cfg,
@@ -201,10 +202,22 @@ def main():
         'rollout_pct': 100 * results['rollout_s'] / results['full_step_s'],
         'update_actual_s': update_actual,
         'update_pct': 100 * update_actual / results['full_step_s'],
-        'element_gather_vs_actual': results['update_gather_s'] / update_actual,
-        'unshuffled_lower_bound_vs_actual':
-            results['update_none_s'] / update_actual,
     }
+    if update_actual > 1e-4:
+        # full_step_s and rollout_s are independently timed; when the
+        # subtraction lands at ~0 (timing noise, or a rollout-dominated
+        # config) the ratios below are garbage — skip them rather than
+        # report inf
+        results['accounting'].update({
+            'element_gather_vs_actual':
+                results['update_gather_s'] / update_actual,
+            'unshuffled_lower_bound_vs_actual':
+                results['update_none_s'] / update_actual,
+        })
+    else:
+        results['accounting']['ratios_skipped'] = (
+            'update_actual <= 0.1 ms — subtraction of independently timed '
+            'quantities is noise-dominated at this scale')
     print(json.dumps(results, indent=1))
     if args.out:
         with open(args.out, 'w') as f:

@@ -175,3 +175,35 @@ def test_scaled_minibatches_holds_minibatch_size_fixed():
     # minibatch size (rollout 128 transitions/env) is invariant >= 1024
     for envs in (1024, 2048, 4096, 8192):
         assert envs * 128 // ppo.scaled_minibatches(envs) == 1024 * 128 // 4
+
+
+def test_minibatches_default_auto_resolves(capsys):
+    """PPOConfig.minibatches defaults to None = auto (VERDICT r4 item 6):
+    train()/make_train_step resolve it through scaled_minibatches, so
+    num_envs=4096 with a default config gets minibatches=16 — not the
+    round-3 collapsing recipe of 4 — without any caller action."""
+    cfg = ppo.PPOConfig()
+    assert cfg.minibatches is None
+    resolved = ppo.resolve_minibatches(cfg, 4096)
+    assert resolved.minibatches == 16
+    assert ppo.resolve_minibatches(resolved, 4096).minibatches == 16  # idem
+
+    # explicit collapse-prone override still allowed, but warned
+    big = ppo.PPOConfig(minibatches=1)
+    ppo.resolve_minibatches(big, 4096)
+    err = capsys.readouterr().err
+    assert 'minibatch size' in err and 'scaled_minibatches' in err
+
+    # below the tuned 1024-env scale the 32k size is unreachable: hold the
+    # tuned count of 4 (pre-r5 default) instead of 1 giant minibatch
+    assert ppo.resolve_minibatches(ppo.PPOConfig(), 256).minibatches == 4
+    assert ppo.resolve_minibatches(ppo.PPOConfig(), 64).minibatches == 4
+
+    # make_train_step works with the None default end-to-end
+    from gym_copter_tpu.envs import tasks
+    from gym_copter_tpu.envs.registry import default_params
+
+    env_ids = jnp.arange(64, dtype=jnp.int32)
+    step, _ = ppo.make_train_step(default_params(), tasks.HOVER_3D,
+                                  ppo.PPOConfig(rollout_steps=4, hidden=8),
+                                  jax.random.PRNGKey(0), env_ids)
