@@ -105,6 +105,19 @@ class NeatConfig:
     # feeds the tanh straight to the env like an external NEAT-Gym learner.
     action_anchor: str = 'hover'
     max_steps: int = 999
+    # champion-selection robustness (round 5): per generation the top-k
+    # genomes by train fitness are re-scored on a FIXED holdout of
+    # `holdout_reps` episodes, and evolution continues past the train
+    # threshold until the best holdout score clears threshold +
+    # holdout_margin (or max_generations).  Rationale: train fitness is a
+    # max over pop x fresh wind kicks — selection-biased by luck — and the
+    # round-4 champions picked from a 10-episode holdout scored 262-294 on
+    # 100 fresh episodes against the configs' 300 threshold.  The margin
+    # covers the remaining winner's-curse bias of argmax-over-generations
+    # on a holdout mean with se ~ episode_std/sqrt(holdout_reps).
+    topk: int = 4
+    holdout_reps: int = 32
+    holdout_margin: float = 10.0
 
 
 def network_step(genome: Genome, obs_pr, h_pr):
@@ -307,6 +320,11 @@ def take_genome(genome: Genome, i) -> Genome:
     return jax.tree.map(lambda g: g[i][None], genome)
 
 
+def take_genomes(genome: Genome, idx) -> Genome:
+    """Extract genomes idx (k,) as a population of k."""
+    return jax.tree.map(lambda g: g[idx], genome)
+
+
 def evolve_population(env_name: str = 'Lander2D-v0',
                       cfg: NeatConfig = NeatConfig(),
                       env_params: Optional[EnvParams] = None,
@@ -319,46 +337,59 @@ def evolve_population(env_name: str = 'Lander2D-v0',
 
     Returns (champion Genome (pop axis 1), history list of per-generation
     dicts, final population).  One device dispatch per generation for
-    fitness + one for evolution.
+    fitness + one for the top-k holdout + one for evolution.
 
-    Champion selection: each generation's top-1 genome is re-scored on a
-    FIXED held-out episode set (seed eval_seed+1, one episode index) and
-    the champion is the best *held-out* scorer across generations.  Raw
-    per-generation fitness uses fresh wind per generation, so without the
-    re-score a genome lucky on an easy generation could displace a
-    genuinely better later genome (training fitness still drives selection
-    and the threshold check, matching NEAT's fitness_criterion = max)."""
+    Champion selection (round 5; VERDICT r4 weak #3): each generation's
+    top-k genomes by train fitness are re-scored on a FIXED holdout set
+    (seed eval_seed+1, `cfg.holdout_reps` episodes) and the champion is
+    the best held-out scorer across all generations.  Train fitness is a
+    max over pop x 10 fresh wind kicks — selection-biased by luck — so
+    the round-4 top-1/10-episode version picked champions that scored
+    262-294 on 100 fresh episodes.  Termination: evolution continues past
+    NEAT's own train criterion (fitness_criterion = max >= threshold,
+    whose first-hit generation is recorded per entry) until the champion's
+    holdout clears threshold + holdout_margin, or max_generations."""
     spec, env_params = _resolve(env_name, env_params)
     fitness_fn = make_fitness_fn(env_name, cfg, env_params, seed=eval_seed,
                                  mesh=mesh)
     holdout_fn = make_fitness_fn(
-        env_name, dataclasses.replace(cfg, pop_size=1), env_params,
-        reps=cfg.episode_reps, seed=eval_seed + 1)
+        env_name, dataclasses.replace(cfg, pop_size=cfg.topk), env_params,
+        reps=cfg.holdout_reps, seed=eval_seed + 1)
     evolve_fn = make_evolve_fn(cfg)
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
     genome = init_population(k0, spec.obs_size, spec.action_size, cfg)
 
     history, best_ever, champion = [], -jnp.inf, None
+    train_threshold_gen = None
     for gen in range(max_generations):
         fit = fitness_fn(genome, jnp.int32(gen))
         best_i = int(jnp.argmax(fit))
         best, mean = float(fit[best_i]), float(fit.mean())
         enabled = float(genome.m_in.mean() + genome.m_rec.mean()
                         + genome.m_out.mean()) / 3.0
-        cand = take_genome(genome, best_i)
-        holdout = float(holdout_fn(cand, jnp.int32(2 ** 30))[0])
+        topk_i = jnp.argsort(-fit)[:cfg.topk]
+        cands = take_genomes(genome, topk_i)
+        ho = holdout_fn(cands, jnp.int32(2 ** 30))
+        ho_best_i = int(jnp.argmax(ho))
+        holdout = float(ho[ho_best_i])
         rec = {'generation': gen, 'best_fitness': best, 'mean_fitness': mean,
                'holdout_best': holdout, 'hidden_conn_frac': enabled}
+        if best >= cfg.fitness_threshold and train_threshold_gen is None:
+            train_threshold_gen = gen
+            rec['train_threshold_reached'] = True
         history.append(rec)
         if holdout > best_ever:
-            best_ever, champion = holdout, cand
+            best_ever = holdout
+            champion = take_genome(cands, ho_best_i)
         if callback is not None:
             callback(rec)
         elif gen % log_every == 0:
             print(f'gen {gen:4d}  best {best:8.1f}  mean {mean:8.1f}  '
-                  f'hidden-conn {enabled:.3f}', flush=True)
-        if best >= cfg.fitness_threshold:
+                  f'holdout {holdout:8.1f}  hidden-conn {enabled:.3f}',
+                  flush=True)
+        if (best >= cfg.fitness_threshold
+                and best_ever >= cfg.fitness_threshold + cfg.holdout_margin):
             break
         key, k = jax.random.split(key)
         genome = evolve_fn(genome, fit, k)

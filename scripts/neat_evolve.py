@@ -55,8 +55,11 @@ def main():
         robust, _ = ne.evaluate_champion(champ, args.env, cfg,
                                          reps=args.eval_reps)
         best = max(h['best_fitness'] for h in hist)
+        train_gen = next((h['generation'] for h in hist
+                          if h.get('train_threshold_reached')), None)
         print(f'{args.env} seed {seed}: best fitness {best:.1f} in '
-              f'{len(hist)} generations ({wall:.0f}s); champion over '
+              f'{len(hist)} generations ({wall:.0f}s, train threshold at '
+              f'gen {train_gen}); champion over '
               f'{args.eval_reps} fresh episodes: {robust:.1f} '
               f'(target {args.target})', flush=True)
         runs.append({
@@ -64,7 +67,10 @@ def main():
             'generations_run': len(hist),
             'best_fitness': best,
             'reached_target': bool(best >= args.target),
+            'train_threshold_generation': train_gen,
             'champion_eval_mean': robust,
+            'champion_eval_reached_target': bool(robust >= args.target),
+            'best_holdout': max(h['holdout_best'] for h in hist),
             'wall_seconds': wall,
             'generations_per_sec': len(hist) / wall,
             'curve': hist,
@@ -80,6 +86,8 @@ def main():
         'champion_eval_reps': args.eval_reps,
         'env_steps_per_generation': args.pop * args.reps * cfg.max_steps,
         'seeds_reaching_target': sum(r['reached_target'] for r in runs),
+        'champion_eval_seeds_reaching_target':
+            sum(r['champion_eval_reached_target'] for r in runs),
         'best_fitness_across_seeds': max(r['best_fitness'] for r in runs),
         'runs': runs,
     }

@@ -28,8 +28,10 @@ from gym_copter_tpu.utils import checkpoint
 
 
 def run_seed(args, seed):
-    minibatches = (args.minibatches if args.minibatches
-                   else ppo.scaled_minibatches(args.envs))
+    # 0 = leave minibatches at the library default (None): ppo resolves it
+    # through the batch-size scaling rule, so this script exercises exactly
+    # the out-of-the-box train() path
+    minibatches = args.minibatches if args.minibatches else None
     cfg = ppo.PPOConfig(rollout_steps=args.rollout,
                         entropy_coef=args.entropy,
                         learning_rate=args.lr,
@@ -128,8 +130,10 @@ def main():
         'config': {'updates': args.updates, 'envs': args.envs,
                    'rollout': args.rollout, 'lr': args.lr,
                    'entropy': args.entropy, 'gamma': args.gamma,
-                   'minibatches': (args.minibatches if args.minibatches
-                                   else ppo.scaled_minibatches(args.envs)),
+                   'minibatches': ppo.resolve_minibatches(
+                       ppo.PPOConfig(rollout_steps=args.rollout,
+                                     minibatches=args.minibatches or None),
+                       args.envs).minibatches,
                    'target_kl': args.target_kl,
                    'anneal_floor': args.anneal_floor,
                    'keep_best': args.keep_best,
