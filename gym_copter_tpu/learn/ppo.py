@@ -99,6 +99,13 @@ class PPOConfig(NamedTuple):
     # good optimum.  (Round-2 used an epoch-level check, which let up to
     # `minibatches` oversized steps through before tripping.)
     target_kl: float = 0.0
+    # matmul precision for the policy/critic MLPs: None = full f32 dots;
+    # 'bfloat16' runs the dots in the MXU's native bf16 with f32
+    # accumulation (weights/optimizer/activations-between-layers stay
+    # f32).  Measured on v5e at the flagship 4096-env recipe the update
+    # phase is NOT matmul-bound (see docs/profile_ppo.json round-5 MFU
+    # accounting), so this defaults off; flip it for larger `hidden`.
+    matmul_dtype: str | None = None
 
 
 def scaled_minibatches(num_envs: int, base_envs: int = 1024,
@@ -187,10 +194,24 @@ def init_mlp_params(key, sizes, dtype=jnp.float32):
     return params
 
 
-def mlp_apply(params, x):
-    """x: (in, N) -> (out, N); tanh hidden activations."""
+def mlp_apply(params, x, matmul_dtype=None):
+    """x: (in, N) -> (out, N); tanh hidden activations.
+
+    matmul_dtype='bfloat16' casts weights and activations to bf16 for the
+    matmuls with f32 accumulation (preferred_element_type) — the MXU's
+    native precision; biases, activations between layers, and everything
+    outside the dots stay f32.  None keeps full-f32 dots.
+    """
     for i, layer in enumerate(params):
-        x = layer['w'] @ x + layer['b'][:, None]
+        if matmul_dtype is not None:
+            dt = jnp.dtype(matmul_dtype)
+            y = jax.lax.dot_general(
+                layer['w'].astype(dt), x.astype(dt),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            x = y + layer['b'][:, None]
+        else:
+            x = layer['w'] @ x + layer['b'][:, None]
         if i < len(params) - 1:
             x = jnp.tanh(x)
     return x
@@ -217,8 +238,9 @@ def _clipped_log_std(params, cfg: PPOConfig):
 def _policy(params, obs, cfg: PPOConfig):
     """Returns (mean (A,N), log_std (A,1), value (N,))."""
     x = obs / cfg.obs_scale
-    mean = mlp_apply(params['actor'], x) + cfg.init_action_bias
-    value = mlp_apply(params['critic'], x)[0]
+    mean = mlp_apply(params['actor'], x, cfg.matmul_dtype) \
+        + cfg.init_action_bias
+    value = mlp_apply(params['critic'], x, cfg.matmul_dtype)[0]
     return mean, _clipped_log_std(params, cfg)[:, None], value
 
 

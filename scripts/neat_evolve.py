@@ -37,22 +37,38 @@ def main():
     p.add_argument('--seeds', type=int, nargs='+', default=[0])
     p.add_argument('--eval-reps', type=int, default=100)
     p.add_argument('--anchor', default='hover', choices=['hover', 'direct'])
+    p.add_argument('--algo', default='ga', choices=['ga', 'hyperneat'],
+                   help="'ga' = direct-encoding masked-topology GA "
+                        "(learn/neuroevolution.py); 'hyperneat' = "
+                        "CPPN-generated substrate networks "
+                        "(learn/hyperneat.py — the reference configs' "
+                        "indirect-encoding family)")
     p.add_argument('--out', default=None, help='JSON record path')
     p.add_argument('--save-genome', default=None,
                    help='champion .npz path (best seed)')
     args = p.parse_args()
 
-    cfg = ne.NeatConfig(pop_size=args.pop, episode_reps=args.reps,
-                        fitness_threshold=args.target, hidden=args.hidden,
-                        action_anchor=args.anchor)
+    if args.algo == 'hyperneat':
+        from gym_copter_tpu.learn import hyperneat as hn
+        cfg = hn.HyperNeatConfig(pop_size=args.pop, episode_reps=args.reps,
+                                 fitness_threshold=args.target,
+                                 action_anchor=args.anchor)
+        evolve_population, evaluate_champion = (hn.evolve_population,
+                                                hn.evaluate_champion)
+    else:
+        cfg = ne.NeatConfig(pop_size=args.pop, episode_reps=args.reps,
+                            fitness_threshold=args.target,
+                            hidden=args.hidden, action_anchor=args.anchor)
+        evolve_population, evaluate_champion = (ne.evolve_population,
+                                                ne.evaluate_champion)
     runs, best_champ, best_champ_score = [], None, -float('inf')
     for seed in args.seeds:
         t0 = time.time()
-        champ, hist, _ = ne.evolve_population(
+        champ, hist, _ = evolve_population(
             args.env, cfg, max_generations=args.generations, seed=seed)
         wall = time.time() - t0
 
-        robust, _ = ne.evaluate_champion(champ, args.env, cfg,
+        robust, _ = evaluate_champion(champ, args.env, cfg,
                                          reps=args.eval_reps)
         best = max(h['best_fitness'] for h in hist)
         train_gen = next((h['generation'] for h in hist
@@ -79,8 +95,12 @@ def main():
             best_champ_score, best_champ = robust, champ
 
     record = {
-        'env': args.env, 'algorithm': 'neat-style GA (masked topology)',
-        'config': {'pop_size': args.pop, 'episode_reps': args.reps,
+        'env': args.env,
+        'algorithm': ('hyperneat (CPPN-generated substrate)'
+                      if args.algo == 'hyperneat'
+                      else 'neat-style GA (masked topology)'),
+        'config': {'algo': args.algo, 'pop_size': args.pop,
+                   'episode_reps': args.reps,
                    'fitness_threshold': args.target, 'hidden': args.hidden,
                    'seeds': args.seeds, 'action_anchor': args.anchor},
         'champion_eval_reps': args.eval_reps,

@@ -197,7 +197,40 @@ def main():
     # full - rollout; the three update_* variants above are the DIAGNOSTIC
     # alternatives that motivated it (element gather / materialized element
     # permutation / unshuffled lower bound — learn/ppo.py shuffle_block)
+    # ---- bf16-matmul variant of the full production step ----
+    cfg_bf16 = cfg._replace(matmul_dtype='bfloat16')
+    step_bf16, opt_bf16 = ppo.make_train_step(params, spec, cfg_bf16,
+                                              jax.random.PRNGKey(1), env_ids)
+    ts_bf16 = ppo.init_train_state(key, params, spec, cfg_bf16, B, opt_bf16)
+    jit_bf16 = jax.jit(step_bf16)
+
+    def run_bf16(n):
+        t = ts_bf16
+        for _ in range(n):
+            t, m = jit_bf16(t)
+        float(m['reward_per_step'])
+    results['full_step_bf16_s'] = timeit(run_bf16)
+
+    # ---- analytic MFU accounting for the update phase ----
+    # per transition per epoch: fwd actor+critic (2*sum(in*out) each) and
+    # backward ~2x fwd (dgrad + wgrad); the log-prob/loss elementwise work
+    # is negligible next to the dots
+    h, O, A = args.hidden, spec.obs_size, spec.action_size
+    fwd_flops = 2 * ((O * h + h * h + h * A) + (O * h + h * h + h * 1))
+    update_flops = 3 * fwd_flops * N * cfg.epochs
+    V5E_BF16_PEAK = 197e12
     update_actual = results['full_step_s'] - results['rollout_s']
+    if update_actual > 1e-4:
+        achieved = update_flops / update_actual
+        results['mfu'] = {
+            'update_flops_analytic': update_flops,
+            'achieved_flops_per_sec': achieved,
+            'fraction_of_v5e_bf16_peak': achieved / V5E_BF16_PEAK,
+            'note': ('analytic dot FLOPs only; f32 dots do not reach the '
+                     'bf16 MXU peak — the bf16 fraction is the honest '
+                     'ceiling reference.  full_step_bf16_s shows what '
+                     'bf16-with-f32-accumulation buys end to end.'),
+        }
     results['accounting'] = {
         'rollout_pct': 100 * results['rollout_s'] / results['full_step_s'],
         'update_actual_s': update_actual,
