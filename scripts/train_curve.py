@@ -44,7 +44,8 @@ def run_seed(args, seed):
                         target_kl=args.target_kl,
                         hidden=args.hidden,
                         minibatches=minibatches,
-                        shuffle_block=args.shuffle_block)
+                        shuffle_block=args.shuffle_block,
+                        matmul_dtype=args.matmul_dtype or None)
     ts, history = ppo.train(args.env, num_envs=args.envs,
                             num_updates=args.updates, seed=seed,
                             cfg=cfg, log_every=args.log_every,
@@ -90,6 +91,9 @@ def main():
                         '(0 disables): the first minibatch whose KL exceeds '
                         'this is itself skipped, plus everything after it '
                         'in the update')
+    p.add_argument('--matmul-dtype', default='',
+                   help="'' = f32 dots (default); 'bfloat16' = MXU-native "
+                        "dots with f32 accumulation (ppo.mlp_apply)")
     p.add_argument('--keep-best', action='store_true',
                    help='returned/checkpointed policy = best evaluated one')
     p.add_argument('--final-window', type=int, default=300,
