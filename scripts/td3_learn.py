@@ -88,12 +88,17 @@ class ReplayBuffer:
         self.ptr = (i + 1) % self.size
         self.full = self.full or self.ptr == 0
 
-    def sample(self, batch, rng):
+    def sample(self, batch, rng, norm=None):
         hi = self.size if self.full else self.ptr
         idx = rng.integers(0, hi, size=batch)
+        s, s2 = self.s[idx], self.s2[idx]
+        if norm is not None:
+            # raw obs in the buffer, normalized with CURRENT stats at
+            # sample time (the standard running-normalizer arrangement)
+            s, s2 = norm(s), norm(s2)
         t = torch.as_tensor
-        return (t(self.s[idx]), t(self.a[idx]), t(self.r[idx]),
-                t(self.s2[idx]), t(self.nd[idx]))
+        return (t(s), t(self.a[idx]), t(self.r[idx]),
+                t(s2), t(self.nd[idx]))
 
 
 class TD3:
@@ -115,9 +120,9 @@ class TD3:
             obs = torch.from_numpy(np.array(obs, dtype=np.float32))
             return self.actor(obs[None])[0].numpy()
 
-    def train_step(self, buffer, batch, rng):
+    def train_step(self, buffer, batch, rng, norm=None):
         self.it += 1
-        s, a, r, s2, nd = buffer.sample(batch, rng)
+        s, a, r, s2, nd = buffer.sample(batch, rng, norm)
         with torch.no_grad():
             noise = (torch.randn_like(a) * self.policy_noise
                      ).clamp(-self.noise_clip, self.noise_clip)
@@ -143,13 +148,38 @@ class TD3:
                 pt.data.mul_(1 - self.tau).add_(self.tau * p.data)
 
 
-def evaluate(env, agent, episodes=10):
+class ObsNormalizer:
+    """Running mean/std observation normalizer (the standard DRL-harness
+    tweak AC-Gym-era stacks apply; Welford accumulation, stats frozen for
+    evaluation reads — updated only on training-env steps)."""
+
+    def __init__(self, dim, eps=1e-8):
+        self.n = 0
+        self.mean = np.zeros(dim, np.float64)
+        self.m2 = np.ones(dim, np.float64)
+        self.eps = eps
+
+    def update(self, x):
+        self.n += 1
+        d = x - self.mean
+        self.mean += d / self.n
+        self.m2 += d * (x - self.mean)
+
+    def __call__(self, x):
+        if self.n < 2:
+            return np.asarray(x, np.float32)
+        std = np.sqrt(self.m2 / (self.n - 1)) + self.eps
+        return ((x - self.mean) / std).astype(np.float32)
+
+
+def evaluate(env, agent, episodes=10, norm=None):
     total = 0.0
     for ep in range(episodes):
         obs, _ = env.reset(seed=10_000 + ep)
         done = False
         while not done:
-            obs, r, term, trunc, _ = env.step(agent.act(obs))
+            o = norm(obs) if norm else obs
+            obs, r, term, trunc, _ = env.step(agent.act(o))
             total += r
             done = term or trunc
     return total / episodes
@@ -164,6 +194,13 @@ def main():
     p.add_argument('--max-steps', type=int, default=300_000)
     p.add_argument('--start-steps', type=int, default=10_000)
     p.add_argument('--expl-noise', type=float, default=0.1)
+    p.add_argument('--obs-norm', action='store_true',
+                   help='running mean/std observation normalization '
+                        '(standard AC-Gym-era harness tweak; off = the '
+                        'faithful bare recipe)')
+    p.add_argument('--noise-decay-to', type=float, default=0.0,
+                   help='if > 0, linearly decay exploration noise from '
+                        '--expl-noise to this value over the run')
     p.add_argument('--batch', type=int, default=256)
     p.add_argument('--eval-every', type=int, default=5_000)
     p.add_argument('--eval-episodes', type=int, default=10)
@@ -198,17 +235,27 @@ def main():
     agent = TD3(obs_dim, act_dim)
     buffer = ReplayBuffer(obs_dim, act_dim, size=args.max_steps)
 
+    norm = ObsNormalizer(obs_dim) if args.obs_norm else None
+
     curve, best = [], -float('inf')
     obs, _ = env.reset(seed=args.seed)
     ep_ret, ep_len, episodes = 0.0, 0, 0
     t0 = time.time()
     for step in range(1, args.max_steps + 1):
+        if norm:
+            norm.update(np.asarray(obs, np.float64))
+        if args.noise_decay_to > 0:
+            frac = step / args.max_steps
+            noise_sigma = (args.expl_noise
+                           + frac * (args.noise_decay_to - args.expl_noise))
+        else:
+            noise_sigma = args.expl_noise
         if step <= args.start_steps:
             action = env.action_space.sample()
         else:
             action = np.clip(
-                agent.act(obs)
-                + rng.normal(0, args.expl_noise, size=act_dim), -1, 1
+                agent.act(norm(obs) if norm else obs)
+                + rng.normal(0, noise_sigma, size=act_dim), -1, 1
             ).astype(np.float32)
         obs2, r, term, trunc, _ = env.step(action)
         buffer.add(obs, action, r, obs2, term and not trunc)
@@ -220,9 +267,9 @@ def main():
             episodes += 1
             ep_ret, ep_len = 0.0, 0
         if step > args.start_steps:
-            agent.train_step(buffer, args.batch, rng)
+            agent.train_step(buffer, args.batch, rng, norm=norm)
         if step % args.eval_every == 0:
-            ret = evaluate(eval_env, agent, args.eval_episodes)
+            ret = evaluate(eval_env, agent, args.eval_episodes, norm=norm)
             curve.append({'step': step, 'eval_return': float(ret)})
             print(f'step {step:7d}  eval {ret:8.2f}  '
                   f'({step / (time.time() - t0):.0f} steps/s)', flush=True)
@@ -236,6 +283,8 @@ def main():
 
     summary = {
         'env': args.env, 'seed': args.seed, 'target': args.target,
+        'obs_norm': bool(args.obs_norm),
+        'noise_decay_to': args.noise_decay_to,
         'best_eval_return': best, 'steps': curve[-1]['step'] if curve else 0,
         'reached_target': best >= args.target,
         'wall_seconds': time.time() - t0,
