@@ -79,13 +79,17 @@ class PPOConfig(NamedTuple):
     # block shuffling (the whole remaining update included;
     # docs/profile_ppo.json, round 4).  XLA lowers 4-byte-granularity
     # gathers to scalar loads; block gathers move 512-byte+ contiguous
-    # runs at HBM bandwidth.  Learning impact, measured honestly
-    # (docs/hover3d_shuffle_ablation.json): on a short noise-amplifying
-    # Hover3D snapshot element-wise leads on 3/3 paired seeds, i.e. block
-    # shuffling is NOT perfectly free in sample efficiency per update; at
-    # full length on the flagship Lander3D recipe block-shuffle runs hold
-    # 335-336 final-window (>= the element-era 327.6 and the 300 target),
-    # so end quality is unaffected where it matters.  1 recovers the exact
+    # runs at HBM bandwidth.  Learning impact, measured honestly at BOTH
+    # lengths on Hover3D (paired seeds, identical config otherwise):
+    # at a 400-update mid-training snapshot element-wise leads 3/3
+    # (docs/hover3d_shuffle_ablation.json), but at the full 1500-update
+    # production length the ordering REVERSES — block holds 999/999/971
+    # final-window while element-wise lands 264/992/801
+    # (docs/hover3d_shuffle_ablation_full.json) — and on the flagship
+    # Lander3D recipe block-shuffle runs hold 334-337 across 1024/4096/
+    # 8192 envs (docs/lander3d_curve*.json).  So the early sample-
+    # efficiency gap does not persist, and block is the right default at
+    # full length on both measured tasks.  1 recovers the exact
     # element-wise semantics.  If T*B % shuffle_block != 0 the trainer
     # falls back to 1 automatically.
     shuffle_block: int = 128
