@@ -106,9 +106,12 @@ class PPOConfig(NamedTuple):
     # matmul precision for the policy/critic MLPs: None = full f32 dots;
     # 'bfloat16' runs the dots in the MXU's native bf16 with f32
     # accumulation (weights/optimizer/activations-between-layers stay
-    # f32).  Measured on v5e at the flagship 4096-env recipe the update
-    # phase is NOT matmul-bound (see docs/profile_ppo.json round-5 MFU
-    # accounting), so this defaults off; flip it for larger `hidden`.
+    # f32).  Measured on v5e at the flagship 4096-env recipe (round 5,
+    # docs/profile_ppo.json): the f32 update already achieves 59 TFLOP/s
+    # of analytic dot work (~30% of the 197T bf16 MXU peak) and the bf16
+    # step times the same within noise (11.5 vs 11.2 ms) — the update is
+    # minibatch-step-overhead/bandwidth-bound at hidden=128, not
+    # matmul-bound — so this defaults off; flip it for larger `hidden`.
     matmul_dtype: str | None = None
 
 
