@@ -34,7 +34,11 @@ sys.path.append(REPO)
 
 B_PER_DEV_TPU = 4096
 B_PER_DEV_CPU = 1024
-T_LO_TPU, T_HI_TPU = 20_000, 120_000
+# round-5 windows: >= ~0.5 s marginal work per rep (>= 10x the TPU
+# tunnel's round-trip jitter) + degenerate-sample rejection, matching
+# bench.py — the old 100k-step window sat inside the jitter
+T_LO_TPU, T_HI_TPU = 100_000, 1_100_000
+MIN_MARGINAL_TPU = 0.05
 T_LO_CPU, T_HI_CPU = 200, 1200
 
 
@@ -81,12 +85,16 @@ def _mode_tpu():
                                   np.asarray(ts_['episodes']))
 
     plain = profiling.differential_steps_per_sec(
-        run_plain, T_LO_TPU, T_HI_TPU, batch=b, reps=6)
+        run_plain, T_LO_TPU, T_HI_TPU, batch=b, reps=8,
+        min_marginal_s=MIN_MARGINAL_TPU)
     sharded = profiling.differential_steps_per_sec(
-        run_sharded, T_LO_TPU, T_HI_TPU, batch=b, reps=6)
+        run_sharded, T_LO_TPU, T_HI_TPU, batch=b, reps=8,
+        min_marginal_s=MIN_MARGINAL_TPU)
     print(json.dumps({
         'plain_steps_per_sec': plain['steps_per_sec'],
+        'plain_spread_pct': plain['spread_pct'],
         'sharded_1dev_steps_per_sec': sharded['steps_per_sec'],
+        'sharded_spread_pct': sharded['spread_pct'],
         'efficiency': sharded['steps_per_sec'] / plain['steps_per_sec'],
     }))
 
