@@ -79,20 +79,23 @@ class PPOConfig(NamedTuple):
     # block shuffling (the whole remaining update included;
     # docs/profile_ppo.json, round 4).  XLA lowers 4-byte-granularity
     # gathers to scalar loads; block gathers move 512-byte+ contiguous
-    # runs at HBM bandwidth.  Learning impact, measured honestly at BOTH
-    # lengths on Hover3D (paired seeds, identical config otherwise):
-    # at a 400-update mid-training snapshot element-wise leads 3/3
-    # (docs/hover3d_shuffle_ablation.json), but at the full 1500-update
-    # production length the ordering REVERSES — block holds 999/999/971
-    # final-window while element-wise lands 264/992/801
-    # (docs/hover3d_shuffle_ablation_full.json) — and on the flagship
-    # Lander3D recipe block-shuffle runs hold 334-337 across 1024/4096/
-    # 8192 envs (docs/lander3d_curve*.json).  So the early sample-
-    # efficiency gap does not persist, and block is the right default at
-    # full length on both measured tasks.  1 recovers the exact
-    # element-wise semantics.  If T*B % shuffle_block != 0 the trainer
-    # falls back to 1 automatically.
-    shuffle_block: int = 128
+    # runs at HBM bandwidth.
+    #
+    # None = auto (round 5): 128 when a 128-env block is <= 1/32 of the
+    # env batch (num_envs >= 4096), element-wise (1) below.  Evidence:
+    # at 4096/8192 envs block holds 334-337 final-window on Lander3D
+    # (docs/lander3d_curve_4096*.json, _8192.json) and at 1024 on Hover3D
+    # block wins at full length (999/999/971 vs element 264/992/801,
+    # docs/hover3d_shuffle_ablation_full.json) — but on LANDER3D at 1024
+    # envs, where one block is 1/8 of the batch, block shuffling
+    # destabilizes long runs (215.7/323.4/233.8 final-window at 3500
+    # updates vs 325.1 for element on the same seed/metric,
+    # docs/lander3d_curve_1024_block_vs_element.json).  Within-minibatch
+    # correlation grows with block/num_envs; the auto rule only uses
+    # blocks where they are a validated-small fraction.  Explicit ints
+    # are honored (1 = exact element-wise semantics).  If T*B %
+    # shuffle_block != 0 the trainer falls back to 1 automatically.
+    shuffle_block: int | None = None
     # trust-region guard: the first MINIBATCH whose approx-KL (measured on
     # the current params, before its own update) exceeds this is skipped,
     # along with everything after it in the update (gradients computed but
@@ -146,10 +149,15 @@ def scaled_minibatches(num_envs: int, base_envs: int = 1024,
 
 
 def resolve_minibatches(cfg: PPOConfig, num_envs: int) -> PPOConfig:
-    """Resolve cfg.minibatches=None to the batch-scaling rule and sanity-
-    check explicit values (see scaled_minibatches).  Idempotent."""
+    """Resolve cfg.minibatches=None to the batch-scaling rule (and
+    cfg.shuffle_block=None to the block-fraction rule — see the
+    PPOConfig.shuffle_block comment), sanity-checking explicit values
+    (see scaled_minibatches).  Idempotent."""
     import sys
 
+    if cfg.shuffle_block is None:
+        cfg = cfg._replace(
+            shuffle_block=128 if num_envs >= 4096 else 1)
     mbs = cfg.minibatches
     if mbs is None:
         # scaling UP from the tuned 1024-env recipe holds the 32k minibatch

@@ -44,7 +44,7 @@ def run_seed(args, seed):
                         target_kl=args.target_kl,
                         hidden=args.hidden,
                         minibatches=minibatches,
-                        shuffle_block=args.shuffle_block,
+                        shuffle_block=args.shuffle_block or None,
                         matmul_dtype=args.matmul_dtype or None)
     ts, history = ppo.train(args.env, num_envs=args.envs,
                             num_updates=args.updates, seed=seed,
@@ -82,10 +82,12 @@ def main():
                    help='minibatches per epoch; 0 = scale with the env '
                         'batch so the minibatch size stays at the tuned '
                         '32k transitions (ppo.scaled_minibatches)')
-    p.add_argument('--shuffle-block', type=int, default=128,
-                   help='minibatch shuffle granularity (1 = element-wise '
-                        'permutation, the pre-round-4 semantics; 128 = '
-                        'block shuffle, ~4.6x faster updates on TPU)')
+    p.add_argument('--shuffle-block', type=int, default=0,
+                   help='minibatch shuffle granularity: 0 = auto (128 '
+                        'when a block is <=1/32 of the env batch, else '
+                        'element-wise — see PPOConfig.shuffle_block), '
+                        '1 = exact element-wise permutation, 128 = block '
+                        'shuffle (~7.5x faster updates on TPU)')
     p.add_argument('--target-kl', type=float, default=0.015,
                    help='per-minibatch approx-KL trust-region guard '
                         '(0 disables): the first minibatch whose KL exceeds '

@@ -227,6 +227,16 @@ def test_minibatches_default_auto_resolves(capsys):
     assert ppo.resolve_minibatches(ppo.PPOConfig(), 256).minibatches == 4
     assert ppo.resolve_minibatches(ppo.PPOConfig(), 64).minibatches == 4
 
+    # shuffle_block auto rule: blocks only where a 128-env block is a
+    # validated-small fraction of the batch (block shuffling destabilized
+    # Lander3D at 1024 envs where one block is 1/8 of the batch —
+    # docs/lander3d_curve_1024_block_vs_element.json)
+    assert ppo.resolve_minibatches(ppo.PPOConfig(), 4096).shuffle_block == 128
+    assert ppo.resolve_minibatches(ppo.PPOConfig(), 8192).shuffle_block == 128
+    assert ppo.resolve_minibatches(ppo.PPOConfig(), 1024).shuffle_block == 1
+    assert ppo.resolve_minibatches(
+        ppo.PPOConfig(shuffle_block=128), 1024).shuffle_block == 128  # explicit
+
     # make_train_step works with the None default end-to-end
     from gym_copter_tpu.envs import tasks
     from gym_copter_tpu.envs.registry import default_params
