@@ -89,11 +89,17 @@ class PPOConfig(NamedTuple):
     # docs/hover3d_shuffle_ablation_full.json) — but on LANDER3D at 1024
     # envs, where one block is 1/8 of the batch, block shuffling
     # destabilizes long runs (215.7/323.4/233.8 final-window at 3500
-    # updates vs 325.1 for element on the same seed/metric,
+    # updates vs 325.1/314.5/325.7 for element on the same seeds/metric,
     # docs/lander3d_curve_1024_block_vs_element.json).  Within-minibatch
     # correlation grows with block/num_envs; the auto rule only uses
-    # blocks where they are a validated-small fraction.  Explicit ints
-    # are honored (1 = exact element-wise semantics).  If T*B %
+    # blocks where they are a validated-small fraction.  Counter-signal,
+    # recorded honestly: on Hover3D@1024 full length the ordering is
+    # reversed (block 999/999/971 vs element 264/992/801) with heavy
+    # seed-variance overlap — but the costs are asymmetric: Hover3D
+    # solves far beyond its targets under either granularity, while
+    # Lander3D@1024 under block MISSES its 300 target on 2/3 seeds, so
+    # element is the safe small-batch default.  Explicit ints are
+    # honored (1 = exact element-wise semantics).  If T*B %
     # shuffle_block != 0 the trainer falls back to 1 automatically.
     shuffle_block: int | None = None
     # trust-region guard: the first MINIBATCH whose approx-KL (measured on
