@@ -216,6 +216,19 @@ def main():
     p.add_argument('--checkpoint', default=None,
                    help='torch .pt file for the best policy '
                         '(the Makefile\'s --checkpoint)')
+    p.add_argument('--state-checkpoint', default=None,
+                   help='full training-state .pt (nets, targets, '
+                        'optimizers, replay buffer, RNG states, normalizer, '
+                        'step/curve) written at every eval — enables '
+                        '--resume after a kill (the round-5 1M runs had to '
+                        'restart from scratch without this)')
+    p.add_argument('--resume', action='store_true',
+                   help='continue from --state-checkpoint if it exists.  '
+                        'Learner state (nets/optimizers/buffer/RNG) resumes '
+                        'exactly; the environment stream restarts from a '
+                        'fresh reset (documented deviation: the adapter env '
+                        'is not serialized), so the post-resume data stream '
+                        'differs from an uninterrupted run')
     args = p.parse_args()
 
     torch.manual_seed(args.seed)
@@ -238,10 +251,65 @@ def main():
     norm = ObsNormalizer(obs_dim) if args.obs_norm else None
 
     curve, best = [], -float('inf')
-    obs, _ = env.reset(seed=args.seed)
-    ep_ret, ep_len, episodes = 0.0, 0, 0
+    start_step, episodes = 0, 0
+    if args.resume and args.state_checkpoint \
+            and os.path.exists(args.state_checkpoint):
+        ck = torch.load(args.state_checkpoint, weights_only=False)
+        agent.actor.load_state_dict(ck['actor'])
+        agent.actor_t.load_state_dict(ck['actor_t'])
+        agent.critic.load_state_dict(ck['critic'])
+        agent.critic_t.load_state_dict(ck['critic_t'])
+        agent.a_opt.load_state_dict(ck['a_opt'])
+        agent.c_opt.load_state_dict(ck['c_opt'])
+        agent.it = ck['it']
+        saved = ck['buffer']
+        ssize = saved['s'].shape[0]
+        valid = ssize if saved['full'] else saved['ptr']
+        n = min(valid, buffer.size)
+        # most recent n transitions in chronological order (the new
+        # --max-steps may differ from the saved run's, resizing the buffer)
+        if saved['full']:
+            order = (np.arange(saved['ptr'], saved['ptr'] + ssize) % ssize)
+        else:
+            order = np.arange(valid)
+        take = order[valid - n:]
+        for name in ('s', 'a', 'r', 's2', 'nd'):
+            getattr(buffer, name)[:n] = saved[name][take]
+        buffer.ptr, buffer.full = n % buffer.size, n == buffer.size
+        torch.set_rng_state(ck['torch_rng'])
+        rng.bit_generator.state = ck['np_rng']
+        if norm is not None and ck.get('norm') is not None:
+            norm.n, norm.mean, norm.m2 = ck['norm']
+        curve, best = ck['curve'], ck['best']
+        start_step, episodes = ck['step'], ck['episodes']
+        print(f'resumed from {args.state_checkpoint} at step {start_step} '
+              f'(best eval {best:.1f})', flush=True)
+
+    def save_state(step):
+        if not args.state_checkpoint:
+            return
+        torch.save({
+            'actor': agent.actor.state_dict(),
+            'actor_t': agent.actor_t.state_dict(),
+            'critic': agent.critic.state_dict(),
+            'critic_t': agent.critic_t.state_dict(),
+            'a_opt': agent.a_opt.state_dict(),
+            'c_opt': agent.c_opt.state_dict(),
+            'it': agent.it,
+            'buffer': {'s': buffer.s, 'a': buffer.a, 'r': buffer.r,
+                       's2': buffer.s2, 'nd': buffer.nd,
+                       'ptr': buffer.ptr, 'full': buffer.full},
+            'torch_rng': torch.get_rng_state(),
+            'np_rng': rng.bit_generator.state,
+            'norm': (norm.n, norm.mean, norm.m2) if norm else None,
+            'curve': curve, 'best': best,
+            'step': step, 'episodes': episodes,
+        }, args.state_checkpoint)
+
+    obs, _ = env.reset(seed=args.seed + episodes)
+    ep_ret, ep_len = 0.0, 0
     t0 = time.time()
-    for step in range(1, args.max_steps + 1):
+    for step in range(start_step + 1, args.max_steps + 1):
         if norm:
             norm.update(np.asarray(obs, np.float64))
         if args.noise_decay_to > 0:
@@ -277,6 +345,7 @@ def main():
                 best = ret
                 if args.checkpoint:
                     torch.save(agent.actor.state_dict(), args.checkpoint)
+            save_state(step)
             if ret >= args.target:
                 print(f'target {args.target} reached at step {step}')
                 break
